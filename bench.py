@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: full 256^3 realize -> RSD -> filter -> P(k) pipelines/sec/chip.
+
+This is the headline metric from BASELINE.json.  The reference FastBox runs
+the equivalent 128^3 pipeline in ~35 s on one CPU process (~0.0286
+pipelines/sec; BASELINE.md) — dominated by its per-LOS Python RSD loop and
+per-bin digitize loop.  Here the whole pipeline is one jitted XLA program.
+
+``vs_baseline`` is measured-rate / 0.0286 — conservative, since the
+reference number is for boxes with 8x fewer voxels.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "pipelines/s", "vs_baseline": N}
+"""
+import argparse
+import json
+import os
+import time
+
+import jax
+
+# Persistent compilation cache: the driver re-runs this script each round.
+os.makedirs(os.path.expanduser("~/.cache/jax_fastbox"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_fastbox"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from fastbox_tpu.cosmology import build_cosmology
+from fastbox_tpu.grid import GridSpec
+from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
+
+REFERENCE_RATE = 1.0 / 35.0  # 128^3 pipelines/sec, single CPU (BASELINE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nsamp", type=int, default=256)
+    ap.add_argument("--box", type=float, default=4e3)
+    ap.add_argument("--redshift", type=float, default=0.8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    grid = GridSpec.create(box_scale=(args.box,) * 3, nsamp=args.nsamp,
+                           redshift=args.redshift)
+    cosmology = build_cosmology(
+        dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
+        redshift=args.redshift,
+    )
+    config = PipelineConfig(dtype="float32")
+    fn = make_pipeline(grid, cosmology, config)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.iters)
+
+    # Warmup / compile
+    t0 = time.perf_counter()
+    for i in range(args.warmup):
+        out = fn(keys[i])
+    jax.block_until_ready(out)
+    if args.verbose:
+        print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    outs = [fn(keys[args.warmup + i]) for i in range(args.iters)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    rate = args.iters / dt
+    if args.verbose:
+        pk = np.asarray(outs[-1]["pk_cleaned"])
+        print(f"# {dt:.3f}s for {args.iters} pipelines at {args.nsamp}^3 "
+              f"on {jax.devices()[0].platform}; pk head: {pk[:3]}")
+
+    print(json.dumps({
+        "metric": f"{args.nsamp}^3 realize->RSD->filter->P(k) pipelines/sec/chip",
+        "value": round(rate, 4),
+        "unit": "pipelines/s",
+        "vs_baseline": round(rate / REFERENCE_RATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""fastbox_tpu — a TPU-native cosmological field simulation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of philbull/FastBox
+(see SURVEY.md): Gaussian/log-normal density fields coloured by a tabulated
+matter power spectrum, velocity/potential fields, tracer biasing,
+redshift-space distortions, anisotropic filtering, beams, foregrounds, noise,
+foreground cleaning, halo sampling, and on-device P(k)/correlation-function
+estimation — designed as jit-compiled pipelines sharded over TPU meshes.
+"""
+__version__ = "0.1.0"
+
+from . import cosmology, fields, grid, models, ops
+from .box import CosmoBox, default_cosmo
+from .cosmology import CosmoParams, build_cosmology
+from .grid import GridSpec
+
+# Reference-style module aliases (`fastbox.tracers`, `fastbox.filters`, ...)
+from .models import foregrounds, noise, tracers
+
+__all__ = [
+    "CosmoBox",
+    "default_cosmo",
+    "CosmoParams",
+    "build_cosmology",
+    "GridSpec",
+    "cosmology",
+    "fields",
+    "grid",
+    "models",
+    "ops",
+    "foregrounds",
+    "noise",
+    "tracers",
+]

@@ -1,0 +1,253 @@
+"""Void finding and measurement (reference fastbox/voids.py).
+
+The reference's watershed is skimage's Cython flood-fill plus a
+region-adjacency-graph merge (voids.py:139-203).  Here the watershed is a
+device-side steepest-descent label propagation: every unmasked voxel points
+to its lowest 6-connected neighbour, and pointer-jumping (log N iterations of
+``parent = parent[parent]``) resolves every voxel to its basin minimum — an
+embarrassingly parallel formulation of watershed-by-flooding.  The RAG merge
+runs on the host over the (small) region graph, as planned in SURVEY.md §7.
+
+Note: the reference's field normalisation has an inverted condition
+(``if np.mean(field) == 0.`` at voids.py:175-178, SURVEY.md §2.1 #31); the
+intended behaviour (normalise when the mean is *nonzero*) is implemented.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "watershed_labels",
+    "apply_watershed",
+    "void_centroid",
+    "void_radii",
+    "trim_by_volume",
+    "stack_voids",
+]
+
+
+def _neighbor_values(f, big):
+    """Stack of the 6 face-neighbour values, non-periodic (out of bounds ->
+    +inf so they never win the argmin), matching skimage's boundary
+    handling."""
+    out = []
+    for axis in range(3):
+        for shift in (1, -1):
+            v = jnp.roll(f, shift, axis=axis)
+            idx = [slice(None)] * 3
+            idx[axis] = 0 if shift == 1 else -1
+            v = v.at[tuple(idx)].set(big)
+            out.append(v)
+    return jnp.stack(out)
+
+
+@jax.jit
+def _steepest_descent_labels(f, mask):
+    """Flat basin-root index per voxel (0-padded mask -> root -1)."""
+    N0, N1, N2 = f.shape
+    big = jnp.asarray(jnp.inf, f.dtype)
+    fm = jnp.where(mask, f, big)
+
+    neigh = _neighbor_values(fm, big)  # (6, ...)
+
+    size = N0 * N1 * N2
+    flat_idx = jnp.arange(size).reshape(f.shape)
+    # Flat index of each neighbour
+    nbr_idx = []
+    for axis in range(3):
+        for shift in (1, -1):
+            nbr_idx.append(jnp.roll(flat_idx, shift, axis=axis))
+    nbr_idx = jnp.stack(nbr_idx)
+
+    best = jnp.argmin(neigh, axis=0)
+    best_val = jnp.take_along_axis(neigh, best[None], axis=0)[0]
+    best_idx = jnp.take_along_axis(nbr_idx, best[None], axis=0)[0]
+
+    # Point to the lowest neighbour if it is strictly lower; else to self
+    parent = jnp.where(best_val < fm, best_idx, flat_idx).reshape(-1)
+    parent = jnp.where(mask.reshape(-1), parent, -1)
+
+    # Pointer jumping to the basin root
+    def body(_, p):
+        safe = jnp.maximum(p, 0)
+        return jnp.where(p >= 0, p[safe], -1)
+
+    n_iter = int(np.ceil(np.log2(size))) + 1
+    parent = jax.lax.fori_loop(0, n_iter, body, parent)
+    return parent.reshape(f.shape)
+
+
+def watershed_labels(f, mask):
+    """Consecutive integer labels (1..Nregions) per basin; 0 where masked."""
+    roots = np.asarray(_steepest_descent_labels(jnp.asarray(f),
+                                                jnp.asarray(mask)))
+    uniq, labels = np.unique(roots, return_inverse=True)
+    labels = labels.reshape(roots.shape)
+    if uniq[0] == -1:
+        return labels  # masked voxels got label 0 automatically
+    return labels + 1
+
+
+def _region_adjacency(labels):
+    """Set of (label_i, label_j) 6-connected adjacent pairs (host)."""
+    pairs = set()
+    for axis in range(3):
+        a = np.swapaxes(labels, 0, axis)[:-1]
+        b = np.swapaxes(labels, 0, axis)[1:]
+        sel = (a != b) & (a > 0) & (b > 0)
+        ai, bi = a[sel], b[sel]
+        lo = np.minimum(ai, bi)
+        hi = np.maximum(ai, bi)
+        pairs.update(zip(lo.tolist(), hi.tolist()))
+    return pairs
+
+
+def apply_watershed(field, markers=None, mask_threshold=0.0,
+                    merge_threshold=0.2, verbose=True):
+    """Watershed void finder with RAG mean-density merging (voids.py:139-203).
+
+    Parameters match the reference; ``markers`` is accepted for API parity
+    but ignored (seeds are always the local minima, which is skimage's own
+    default when markers=None).
+    """
+    import time as _time
+
+    field = np.asarray(field)
+    mean = field.mean()
+    # Normalise to a density contrast only for genuine density/count fields
+    # (non-negative with positive mean).  A contrast field (mean ~ 0, signed)
+    # passes through unchanged — which is also what the reference's inverted
+    # condition does in practice for every real input.
+    if field.min() >= 0.0 and mean > 0.0:
+        f = field / mean - 1.0
+    else:
+        f = field
+
+    mask = np.ones_like(f, dtype=bool)
+    mask[f > mask_threshold] = False
+
+    if verbose:
+        print("Running watershed algorithm")
+    t0 = _time.time()
+    labels = watershed_labels(f, mask)
+    nreg = np.unique(labels).size
+    if verbose:
+        print("Watershed took %2.2f sec" % (_time.time() - t0))
+        print("No. regions:", nreg)
+
+    # RAG merge: union regions whose mean densities differ < merge_threshold
+    t0 = _time.time()
+    if verbose:
+        print("Running merging algorithm")
+    nlab = labels.max() + 1
+    sums = np.bincount(labels.ravel(), weights=f.ravel(), minlength=nlab)
+    counts = np.bincount(labels.ravel(), minlength=nlab)
+    means = sums / np.maximum(counts, 1)
+
+    parent = np.arange(nlab)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in _region_adjacency(labels):
+        if abs(means[i] - means[j]) < merge_threshold:
+            parent[find(i)] = find(j)
+
+    roots = np.array([find(i) for i in range(nlab)])
+    # Relabel consecutively, keeping 0 for masked
+    uniq = np.unique(roots[1:]) if nlab > 1 else np.array([], dtype=int)
+    remap = np.zeros(nlab, dtype=np.int64)
+    remap[uniq] = np.arange(1, uniq.size + 1)
+    new_labels = np.where(labels > 0, remap[roots[labels]], 0)
+    if verbose:
+        print("Merging took %2.2f sec" % (_time.time() - t0))
+        print("No. regions after merging:", np.unique(new_labels).size)
+    return new_labels
+
+
+def void_centroid(void_cat, void_labels, box, field=None, kind="uniform"):
+    """Void centroids by several weightings (voids.py:10-79).
+
+    Returns a dict label -> (x, y, z) centroid in box comoving coordinates.
+    """
+    labels = np.asarray(void_labels).astype(int)
+    centroids = {}
+    x, y, z = np.asarray(box.x), np.asarray(box.y), np.asarray(box.z)
+    for lbl in np.asarray(void_cat).astype(int):
+        idxs = np.where(labels == lbl)
+        ix, iy, iz = idxs
+        if kind == "minimum":
+            ii = np.argmin(np.asarray(field)[idxs])
+            centroids[lbl] = np.array([x[ix[ii]], y[iy[ii]], z[iz[ii]]])
+            continue
+        if kind == "uniform":
+            w = np.full(ix.size, 1.0 / ix.size)
+        elif kind == "density":
+            w = -np.asarray(field)[idxs].astype(float)
+            w[w < 0.0] = 0.0
+            w /= np.sum(w)
+        else:
+            raise ValueError(f"Centroid kind '{kind}' not recognised.")
+        centroids[lbl] = np.array([np.sum(w * x[ix]), np.sum(w * y[iy]),
+                                   np.sum(w * z[iz])])
+    return centroids
+
+
+def void_radii(void_cat, void_labels, box):
+    """Volume-equivalent void radii in Mpc (voids.py:82-113)."""
+    dV = ((box.x[1] - box.x[0]) * (box.y[1] - box.y[0])
+          * (box.z[1] - box.z[0]))
+    labels = np.asarray(void_labels)
+    out = {}
+    for lbl in np.asarray(void_cat):
+        ncells = np.count_nonzero(labels == lbl)
+        out[lbl] = (3.0 * dV * ncells / (4.0 * np.pi)) ** (1.0 / 3.0)
+    return out
+
+
+def trim_by_volume(void_labels, nmin, nmax):
+    """Labels of voids within a voxel-count range (voids.py:116-136)."""
+    unique, counts = np.unique(void_labels, return_counts=True)
+    return unique[np.logical_and(counts >= nmin, counts <= nmax)]
+
+
+def stack_voids(void_cat, void_labels, box, field, centroid_kind="density",
+                grid_scale=1.0, grid_pix=31):
+    """Radius-normalised void stack (voids.py:206-301).
+
+    Each void's voxels are re-centred on its centroid, scaled by its radius,
+    interpolated onto a common grid, and averaged with a validity mask.
+    """
+    import scipy.interpolate
+
+    centroids = void_centroid(void_cat=void_cat, void_labels=void_labels,
+                              box=box, field=field, kind="uniform")
+    radii = void_radii(void_cat=void_cat, void_labels=void_labels, box=box)
+
+    grid = np.linspace(-grid_scale, grid_scale, grid_pix)
+    gx, gy, gz = np.meshgrid(grid, grid, grid)
+
+    labels = np.asarray(void_labels)
+    field = np.asarray(field)
+    stacks, failures = [], []
+    for lbl in np.asarray(void_cat):
+        idxs = np.where(labels == lbl)
+        xi, yi, zi = idxs
+        _x = (np.asarray(box.x)[xi] - centroids[lbl][0]) / radii[lbl]
+        _y = (np.asarray(box.y)[yi] - centroids[lbl][1]) / radii[lbl]
+        _z = (np.asarray(box.z)[zi] - centroids[lbl][2]) / radii[lbl]
+        try:
+            vg = scipy.interpolate.griddata(
+                np.column_stack((_x, _y, _z)), field[idxs].ravel(),
+                xi=(gx.ravel(), gy.ravel(), gz.ravel()),
+                method="linear", fill_value=np.nan).reshape(gx.shape)
+        except Exception:
+            failures.append(lbl)
+            continue
+        stacks.append(np.ma.masked_invalid(vg))
+    return np.ma.mean(np.ma.array(stacks), axis=0), failures

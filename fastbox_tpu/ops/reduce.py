@@ -1,0 +1,72 @@
+"""Binned reductions (histograms) designed for the TPU memory system.
+
+The reference bins its power spectrum with ``np.digitize`` plus a Python loop
+doing one full-array masked mean per bin (box.py:758-765) — O(nbins * N^3)
+traffic and the dominant cost of its estimation stage (~25 s at 128^3,
+BASELINE.md).  Here the (sum, sum of squares, count) of every bin are
+accumulated in a *single pass* over the data: the flat array is processed in
+lane-aligned chunks and each chunk's contribution is a small one-hot matmul
+that runs on the MXU, scanned so XLA pipelines HBM reads with compute.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["binned_sum_sumsq_count", "binned_sums"]
+
+_CHUNK = 65536  # 512 sublanes x 128 lanes at f32
+
+
+def _chunked(values, bin_idx, nbins: int, stats: int):
+    """Core scan: values (M,) f32/f64, bin_idx (M,) int32 -> (stats, nbins).
+
+    stats==1: sums only.  stats==3: (sum, sumsq, count).
+    """
+    dtype = values.dtype
+    n = values.shape[0]
+    chunk = min(_CHUNK, n)
+    pad = (-n) % chunk
+    if pad:
+        values = jnp.concatenate([values, jnp.zeros(pad, dtype)])
+        # Padding goes to an extra garbage bin so counts stay exact.
+        bin_idx = jnp.concatenate(
+            [bin_idx, jnp.full(pad, nbins, dtype=bin_idx.dtype)]
+        )
+    m = values.shape[0] // chunk
+    values = values.reshape(m, chunk)
+    bin_idx = bin_idx.reshape(m, chunk)
+
+    def body(acc, xs):
+        v, b = xs
+        onehot = jax.nn.one_hot(b, nbins + 1, dtype=dtype)  # (chunk, nbins+1)
+        if stats == 3:
+            stacked = jnp.stack([v, v * v, jnp.ones_like(v)])  # (3, chunk)
+        else:
+            stacked = v[None, :]
+        return acc + jnp.dot(stacked, onehot, preferred_element_type=dtype), None
+
+    init = jnp.zeros((stats, nbins + 1), dtype)
+    acc, _ = jax.lax.scan(body, init, (values, bin_idx))
+    return acc[:, :nbins]
+
+
+def binned_sum_sumsq_count(values, bin_idx, nbins: int):
+    """Per-bin (sum, sum of squares, count) in one pass.
+
+    Parameters:
+        values: flat real array.
+        bin_idx: int bin index per element; entries >= nbins are ignored.
+        nbins: number of bins.
+
+    Returns:
+        (sums, sumsqs, counts), each shape (nbins,).
+    """
+    acc = _chunked(values.ravel(), bin_idx.ravel().astype(jnp.int32), nbins, 3)
+    return acc[0], acc[1], acc[2]
+
+
+def binned_sums(values, bin_idx, nbins: int):
+    """Per-bin sums only (single-stat variant)."""
+    acc = _chunked(values.ravel(), bin_idx.ravel().astype(jnp.int32), nbins, 1)
+    return acc[0]

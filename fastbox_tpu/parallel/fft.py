@@ -1,0 +1,52 @@
+"""Distributed 3D FFTs by slab decomposition (the nbodykit/pfft replacement).
+
+The reference scales its mesh FFTs through nbodykit's MPI slab-decomposed
+pfft (SURVEY.md §2.3, §5.8).  TPU-natively the same decomposition is
+expressed with ``jax.lax.all_to_all`` over a named mesh axis: transform the
+two unsharded axes locally, all-to-all transpose the slab axis against one
+of them over ICI, transform the remaining axis, transpose back.
+
+These helpers are written for use *inside* ``shard_map`` with arrays of
+shape (B, N/P, N, N): a local batch of row-slabs.  The z (LOS) axis is
+always kept unsharded, so per-LOS operations (RSD, frequency filters) stay
+communication-free.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["pfft3_local", "pifft3_local", "pfft2_local", "pifft2_local"]
+
+
+def pfft3_local(x, axis_name: str):
+    """Forward 3D FFT of a batched row-slab (B, N/P, N, N) -> same sharding."""
+    x = jnp.fft.fftn(x, axes=(2, 3))
+    # (B, N/P, N, N) -> (B, N, N/P, N): send column blocks, gather full rows
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.fft(x, axis=1)
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+
+def pifft3_local(x, axis_name: str):
+    """Inverse 3D FFT of a batched row-slab (B, N/P, N, N)."""
+    x = jnp.fft.ifftn(x, axes=(2, 3))
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.ifft(x, axis=1)
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+
+def pfft2_local(x, axis_name: str):
+    """Forward 2D FFT of a batched sharded map (B, N/P, N)."""
+    x = jnp.fft.fft(x, axis=2)
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.fft(x, axis=1)
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+
+def pifft2_local(x, axis_name: str):
+    """Inverse 2D FFT of a batched sharded map (B, N/P, N)."""
+    x = jnp.fft.ifft(x, axis=2)
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.ifft(x, axis=1)
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)

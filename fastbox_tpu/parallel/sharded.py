@@ -1,0 +1,234 @@
+"""Fully-SPMD multi-chip ensemble pipeline (shard_map over an ('ens','space') mesh).
+
+This is the scaling path for boxes that do not fit one chip (>= 1024^3) and
+for Monte-Carlo ensemble throughput: the whole
+realize -> bias/lognormal -> velocity -> RSD -> foregrounds -> noise ->
+PCA clean -> binned P(k) step runs inside a single ``shard_map`` program:
+
+  * 'ens'   — data parallelism over realisations (no communication)
+  * 'space' — slab decomposition of the leading spatial axis; 3D/2D FFTs use
+              all-to-all transposes over ICI (parallel/fft.py); global
+              reductions (lognormal mean, PCA covariance, P(k) bins) psum
+              over 'space'; per-LOS ops (RSD) stay local because the z axis
+              is never sharded.
+
+The replaced reference machinery: nbodykit's MPI slab FFTs and every
+Python-loop stage (SURVEY.md §2.3, §5.7-5.8).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..cosmology import Cosmology
+from ..grid import GridSpec
+from ..models import noise as noise_mod
+from ..models.foregrounds import _scipy_gaussian_kernel1d
+from ..ops.reduce import binned_sum_sumsq_count
+from ..ops.rsd import remap_los_batched
+from ..ops.spectra import default_kbins
+from ..pipeline import PipelineConfig, _hi_bias, _hi_tb
+from .fft import pfft2_local, pfft3_local, pifft2_local, pifft3_local
+
+__all__ = ["make_sharded_ensemble_step"]
+
+
+def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
+                               config: PipelineConfig = PipelineConfig()):
+    """Build the jitted multi-chip ensemble step.
+
+    Returns ``fn(keys) -> dict`` where ``keys`` has shape (B,) with B a
+    multiple of the 'ens' mesh axis, sharded over 'ens'; each realisation's
+    cube is slab-sharded over 'space'.
+    """
+    dtype = jnp.dtype(config.dtype)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    N = grid.N
+    space = mesh.shape["space"]
+    assert N % space == 0, f"N={N} must be divisible by space axis {space}"
+    Np = N // space
+
+    z = grid.redshift
+    bias = float(config.bias if config.bias is not None else _hi_bias(z))
+    Tb = float(_hi_tb(z))
+    Hz = 100.0 * cosmology.h * cosmology.Ea
+    vel_fac = (100.0 * cosmology.h * cosmology.Ea * cosmology.growth_rate
+               * cosmology.scale_factor)
+    pk_fn = cosmology.pk_lin if config.linear_pk else cosmology.pk_nl
+
+    # Host-side constants (replicated into the SPMD program)
+    kx_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lx)
+    ky_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Ly)
+    kz_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lz)
+    nyq_z = np.asarray(grid.fft_index == grid.fft_index.min()) if N % 2 == 0 \
+        else np.zeros(N, dtype=bool)
+    zgrid = np.asarray(grid.z)
+
+    freqs = grid.freq_array(cosmology)
+    ang_x, _ = grid.pixel_array(cosmology)
+    dang = ang_x[1] - ang_x[0]
+    sigma_rms = noise_mod.radiometer_sigma(
+        freqs, ang_x, config.Tinst, config.tp_hours, config.fov_deg2,
+        config.Ndish)
+    freqs_c = jnp.asarray(freqs.copy(), dtype)
+    sigma_c = jnp.asarray(sigma_rms, dtype)
+
+    # Smoothing kernels (FFT of scipy's truncated wrap-mode kernel)
+    fg_kern = np.fft.fft(_scipy_gaussian_kernel1d(config.fg_smoothing_deg / dang, N))
+    al_kern = np.fft.fft(
+        _scipy_gaussian_kernel1d(config.spec_idx_smoothing_deg / dang, N))
+
+    kbins = default_kbins(grid, config.nbins)
+    nb = kbins.size
+    _edges = np.concatenate([[0.0], kbins])
+    kcent = 0.5 * (_edges[1:] + _edges[:-1])
+
+    boxfactor = grid.boxfactor
+    npix_total = N * N
+
+    def step(keys_local):
+        s = lax.axis_index("space")
+        B_loc = keys_local.shape[0]
+
+        kx_loc = lax.dynamic_slice_in_dim(jnp.asarray(kx_full, dtype), s * Np, Np)
+        ky = jnp.asarray(ky_full, dtype)
+        kz = jnp.asarray(kz_full, dtype)
+        k2_loc = (kx_loc[:, None, None] ** 2 + ky[None, :, None] ** 2
+                  + kz[None, None, :] ** 2)
+        kmag_loc = jnp.sqrt(k2_loc)
+
+        # --- (1) Gaussian realisation --------------------------------
+        def draw_white(key):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, s))
+            return (jax.random.normal(k1, (Np, N, N), dtype)
+                    + 1j * jax.random.normal(k2, (Np, N, N), dtype))
+
+        white = jax.vmap(draw_white)(keys_local)  # (B, Np, N, N) complex
+        amp = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_loc)) * dtype.type(boxfactor))
+        delta_x = pifft3_local(white * amp[None], "space").real.astype(dtype)
+        delta_k = pfft3_local(delta_x.astype(cdtype), "space")
+
+        # --- (2) bias + lognormal (global mean over the cube) --------
+        e = jnp.exp(delta_x * dtype.type(bias))
+        mean_e = lax.psum(jnp.sum(e, axis=(1, 2, 3)), "space") / N**3
+        delta_ln = e / mean_e[:, None, None, None] - 1.0
+
+        # --- (3) LOS velocity ----------------------------------------
+        inv_k2 = jnp.where(k2_loc > 0, 1.0 / jnp.where(k2_loc > 0, k2_loc, 1.0), 0.0)
+        vz_k = (1j * dtype.type(vel_fac)) * delta_k * (kz[None, None, :] * inv_k2)
+        vz_k = jnp.where(jnp.asarray(nyq_z)[None, None, None, :], 0.0, vz_k)
+        vel_z = pifft3_local(vz_k, "space").real.astype(dtype)
+
+        # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
+        vel = vel_z
+        if config.sigma_nl > 0.0:
+            nl_key = jax.random.fold_in(jax.random.fold_in(keys_local[0], s), 17)
+            vel = vel + dtype.type(config.sigma_nl) * jax.random.normal(
+                nl_key, vel.shape, dtype)
+        svals = jnp.asarray(zgrid, dtype)[None, None, None, :] - vel / dtype.type(Hz)
+        L_z = zgrid[-1] - zgrid[0]
+        svals = (svals - dtype.type(zgrid[0])) % dtype.type(L_z) + dtype.type(zgrid[0])
+        fill = 0.5 * (delta_ln[..., 0] + delta_ln[..., -1])
+        delta_s = remap_los_batched(
+            delta_ln.reshape(-1, N), svals.reshape(-1, N),
+            jnp.asarray(zgrid, dtype), fill.reshape(-1), method="linear",
+        ).reshape(delta_ln.shape)
+
+        data = dtype.type(Tb) * (1.0 + delta_s)
+
+        # --- (5) foregrounds (distributed 2D FFT) --------------------
+        if config.include_foregrounds:
+            def draw_fg(key):
+                kf = jax.random.fold_in(jax.random.fold_in(key, s), 101)
+                k1, k2, k3 = jax.random.split(kf, 3)
+                w2 = (jax.random.normal(k1, (Np, N), dtype)
+                      + 1j * jax.random.normal(k2, (Np, N), dtype))
+                a2 = jax.random.normal(k3, (Np, N), dtype)
+                return w2, a2
+
+            white2d, alpha_w = jax.vmap(draw_fg)(keys_local)
+            k_perp = jnp.sqrt(kx_loc[:, None] ** 2 + ky[None, :] ** 2)
+            ell = 0.5 * k_perp * dtype.type(cosmology.chi) / 1000.0
+            C_ell = jnp.where(
+                ell > 0,
+                dtype.type(config.fg_amp)
+                * jnp.where(ell > 0, ell, 1.0) ** dtype.type(config.fg_beta),
+                0.0,
+            ) * dtype.type(N**4 / (grid.Lx * grid.Ly))
+            fgk_loc = lax.dynamic_slice_in_dim(jnp.asarray(fg_kern), s * Np, Np)
+            alk_loc = lax.dynamic_slice_in_dim(jnp.asarray(al_kern), s * Np, Np)
+            fg_k = (white2d * jnp.sqrt(C_ell)[None]
+                    * fgk_loc[None, :, None] * jnp.asarray(fg_kern)[None, None, :])
+            fg_x = pifft2_local(fg_k, "space").real.astype(dtype) \
+                + dtype.type(config.fg_monopole)
+            alpha_k = pfft2_local(
+                (dtype.type(config.spec_idx_std) * alpha_w).astype(cdtype), "space")
+            alpha = pifft2_local(
+                alpha_k * alk_loc[None, :, None] * jnp.asarray(al_kern)[None, None, :],
+                "space").real.astype(dtype) + dtype.type(config.spec_idx_mean)
+            ffac = (freqs_c[None, None, None, :] / dtype.type(config.freq_ref)
+                    ) ** alpha[..., None]
+            data = data + fg_x[..., None] * ffac
+
+        # --- (6) radiometer noise ------------------------------------
+        if config.include_noise:
+            def draw_noise(key):
+                kn = jax.random.fold_in(jax.random.fold_in(key, s), 202)
+                return jax.random.normal(kn, (Np, N, N), dtype)
+
+            data = data + jax.vmap(draw_noise)(keys_local) * sigma_c[None, None, None, :]
+
+        # --- (7) PCA clean (covariance psum'd over pixels) -----------
+        d2 = data.reshape(B_loc, Np * N, N)  # (B, pix_loc, Nfreq)
+        mean_spec = lax.psum(jnp.sum(d2, axis=1), "space") / npix_total
+        x = d2 - mean_spec[:, None, :]
+        cov = lax.psum(jnp.einsum("bpf,bpg->bfg", x, x), "space") / (npix_total - 1)
+        _, vecs = jax.vmap(jnp.linalg.eigh)(cov)
+        U = vecs[:, :, ::-1][:, :, : config.pca_nmodes]  # (B, Nf, nmodes)
+        proj = jnp.einsum("bpf,bfm->bpm", x, U)
+        fg_fit = jnp.einsum("bpm,bfm->bpf", proj, U) + mean_spec[:, None, :]
+        cleaned = (d2 - fg_fit).reshape(B_loc, Np, N, N)
+
+        # --- (8) binned P(k) of the cleaned cube ---------------------
+        ck = pfft3_local(cleaned.astype(cdtype), "space")
+        p3 = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
+        idx = jnp.searchsorted(jnp.asarray(kbins, dtype), kmag_loc.ravel(),
+                               side="right")
+
+        def bin_one(p):
+            return binned_sum_sumsq_count(p.ravel(), idx, nb)
+
+        sums, sumsqs, counts = jax.vmap(bin_one)(p3)
+        sums = lax.psum(sums, "space")
+        sumsqs = lax.psum(sumsqs, "space")
+        counts = lax.psum(counts, "space")
+        pk_mean = sums / counts
+        var = jnp.maximum(sumsqs / counts - pk_mean**2, 0.0)
+        pk_err = jnp.sqrt(var) / jnp.sqrt(counts)
+
+        return {
+            "k": jnp.asarray(kcent[1:], dtype),
+            "pk_cleaned": pk_mean[:, 1:],
+            "pk_cleaned_err": pk_err[:, 1:],
+            "sigma_data": jnp.std(data, axis=(1, 2, 3)),  # per-slab std (diagnostic)
+        }
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=P("ens"),
+        out_specs={
+            "k": P(),
+            "pk_cleaned": P("ens"),
+            "pk_cleaned_err": P("ens"),
+            "sigma_data": P("ens"),
+        },
+        check_rep=False,
+    )
+
+    keys_sharding = NamedSharding(mesh, P("ens"))
+    return jax.jit(sharded, in_shardings=(keys_sharding,))

@@ -1,0 +1,218 @@
+"""The end-to-end 21cm mock pipeline as a single jitted function.
+
+This is the TPU-native expression of the reference's
+``examples/example_endtoend.py`` workload (SURVEY.md §3.2), the
+"realize -> RSD -> filter -> P(k)" pipeline named in BASELINE.json:
+
+  1. Gaussian density realisation with the tabulated nonlinear P(k)
+  2. HI bias scaling and log-normal transform
+  3. linear velocity field from the Gaussian delta_k
+  4. redshift-space remap (vmapped per-LOS, sigma_nl dispersion)
+  5. brightness-temperature scaling Tb (1 + delta_s)
+  6. diffuse foreground cube (2D GRF amplitude x spectral-index power law)
+  7. radiometer noise
+  8. PCA foreground clean
+  9. binned P(k) of the cleaned cube (and of intermediate fields)
+
+Everything after the host-side setup (cosmology tables, instrument scalars)
+is one XLA program: ``make_pipeline`` returns a jitted ``fn(key) -> dict``,
+and ``make_ensemble_pipeline`` vmaps it over a batch of keys for Monte-Carlo
+throughput, optionally sharded over a device mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cosmology import Cosmology
+from .fields import gaussian, transforms
+from .filters import pca_filter
+from .grid import GridSpec
+from .models import noise as noise_mod
+from .models.foregrounds import ForegroundModel, gaussian_smooth_wrap
+from .ops import rsd as rsd_ops
+from .ops import spectra as spectra_ops
+
+__all__ = ["PipelineConfig", "make_pipeline", "make_ensemble_pipeline"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration of the end-to-end mock pipeline.
+
+    Defaults mirror example_endtoend.py's parameter choices.
+    """
+
+    # Signal
+    linear_pk: bool = False
+    bias: float | None = None        # None -> HI bias fit at box redshift
+    sigma_nl: float = 120.0          # km/s (example_endtoend.py:44)
+    rsd_method: str = "linear"
+    # Foregrounds (example_endtoend.py:59-68)
+    fg_amp: float = 57.0
+    fg_beta: float = 1.1
+    fg_monopole: float = 10.0
+    fg_smoothing_deg: float = 4.0
+    spec_idx_mean: float = 2.07
+    spec_idx_std: float = 2e-4
+    spec_idx_smoothing_deg: float = 15.0
+    freq_ref: float = 130.0
+    # Noise (example_endtoend.py:82-84)
+    Tinst: float = 18.0              # K
+    tp_hours: float = 2.0
+    fov_deg2: float = 1.0
+    Ndish: int = 64
+    # Cleaning + estimation
+    pca_nmodes: int = 4
+    nbins: int = 20
+    include_foregrounds: bool = True
+    include_noise: bool = True
+    dtype: str = "float32"
+
+
+def _hi_bias(z):
+    """Bull et al. (2015) b_HI(z) fit (reference tracers.py:129-144)."""
+    return 6.6655e-01 + 1.7765e-01 * z + 5.0223e-02 * z**2
+
+
+def _hi_tb(z):
+    """Tb(z) power-law fit in mK (reference tracers.py:115-117)."""
+    return 5.5919e-02 + 2.3242e-01 * z - 2.4136e-02 * z**2
+
+
+def make_pipeline(grid: GridSpec, cosmology: Cosmology,
+                  config: PipelineConfig = PipelineConfig(), jit: bool = True):
+    """Build the end-to-end mock pipeline as a pure function of a PRNG key.
+
+    Returns ``fn(key) -> dict`` with the cleaned data cube's binned P(k)
+    (k centroids are static and returned alongside), plus summary fields.
+    """
+    dtype = jnp.dtype(config.dtype)
+    z = grid.redshift
+    bias = float(config.bias if config.bias is not None else _hi_bias(z))
+    Tb = float(_hi_tb(z))
+    Hz = 100.0 * cosmology.h * cosmology.Ea
+
+    # Host-side instrument constants
+    freqs = grid.freq_array(cosmology)
+    ang_x, _ = grid.pixel_array(cosmology)
+    dang = ang_x[1] - ang_x[0]
+    fg_sigma_pix = config.fg_smoothing_deg / dang
+    alpha_sigma_pix = config.spec_idx_smoothing_deg / dang
+    sigma_rms = noise_mod.radiometer_sigma(
+        freqs, ang_x, config.Tinst, config.tp_hours, config.fov_deg2,
+        config.Ndish,
+    )
+    freqs_j = jnp.asarray(freqs.copy(), dtype=dtype)
+    sigma_j = jnp.asarray(sigma_rms, dtype=dtype)
+
+    pk_fn = cosmology.pk_lin if config.linear_pk else cosmology.pk_nl
+
+    # P(k) -> sqrt(P * boxfactor) amplitude grid, tabulated ONCE at build
+    # time: the interpolation over 16M |k| values is ~300 ms on TPU, pure
+    # overhead when repeated per realisation.
+    amp_grid = jnp.sqrt(
+        jnp.nan_to_num(pk_fn(grid.kmag(dtype)))
+        * jnp.asarray(grid.boxfactor, dtype)
+    )
+
+    # Velocity k-weights, also static per (grid, cosmology)
+    vel_fac = (100.0 * cosmology.h * cosmology.Ea * cosmology.growth_rate
+               * cosmology.scale_factor)
+    kz = grid.kvec(dtype)[2]
+    k2 = grid.k2(dtype)
+    inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+    vz_weight = (vel_fac * kz[None, None, :] * inv_k2).astype(dtype)
+    nyq_z = grid.nyquist_mask(2)
+
+    def fn(key):
+        (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
+
+        # (1) Gaussian density field (conventions of box.py:130-194)
+        white = gaussian.white_noise(k_dens, grid, dtype)
+        delta_x = jnp.fft.ifftn(white * amp_grid).real.astype(dtype)
+        delta_k = jnp.fft.fftn(delta_x)
+
+        # (2) bias + log-normal
+        delta_ln = transforms.lognormal(delta_x * bias)
+
+        # (3) LOS velocity from the Gaussian field (z component only)
+        vz_k = (1j * delta_k) * vz_weight
+        vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
+        vel_z = jnp.fft.ifftn(vz_k).real.astype(dtype)
+
+        # (4) RSD remap
+        delta_s = rsd_ops.redshift_space_density(
+            delta_ln, vel_z, grid, Hz, sigma_nl=config.sigma_nl, key=k_rsd,
+            method=config.rsd_method,
+        )
+
+        # (5) signal cube in mK
+        data = Tb * (1.0 + delta_s)
+
+        # (6) foregrounds
+        if config.include_foregrounds:
+            kf1, kf2 = jax.random.split(k_fg)
+            white2d = (jax.random.normal(kf1, (grid.N, grid.N), dtype)
+                       + 1j * jax.random.normal(kf2, (grid.N, grid.N), dtype))
+            fg_map = ForegroundModel.foreground_amp_from_whitenoise(
+                white2d, grid, cosmology.chi, config.fg_amp, config.fg_beta,
+                config.fg_monopole, fg_sigma_pix,
+            )
+            alpha_map = config.spec_idx_mean + config.spec_idx_std * (
+                jax.random.normal(k_alpha, (grid.N, grid.N), dtype)
+            )
+            alpha_map = gaussian_smooth_wrap(alpha_map, alpha_sigma_pix)
+            fg_cube = ForegroundModel.construct_cube_fn(
+                fg_map, alpha_map, freqs_j, config.freq_ref
+            )
+            data = data + fg_cube
+
+        # (7) radiometer noise
+        if config.include_noise:
+            data = data + (jax.random.normal(k_noise, grid.shape, dtype)
+                           * sigma_j[None, None, :])
+
+        # (8) PCA clean
+        cleaned = pca_filter(data, config.pca_nmodes)
+
+        # (9) binned P(k) of the cleaned cube and the underlying density
+        kc, pk_clean, pk_err = spectra_ops.binned_power_spectrum(
+            grid, delta_x=cleaned, nbins=config.nbins
+        )
+        _, pk_dens, _ = spectra_ops.binned_power_spectrum(
+            grid, delta_k=delta_k, nbins=config.nbins
+        )
+
+        return {
+            "k": kc,
+            "pk_cleaned": pk_clean,
+            "pk_cleaned_err": pk_err,
+            "pk_density": pk_dens,
+            "sigma_data": jnp.std(data),
+        }
+
+    return jax.jit(fn) if jit else fn
+
+
+def make_ensemble_pipeline(grid: GridSpec, cosmology: Cosmology,
+                           config: PipelineConfig = PipelineConfig(),
+                           mesh=None, axis: str = "ens"):
+    """Vmapped Monte-Carlo ensemble: ``fn(keys[B]) -> dict`` of stacked outputs.
+
+    With ``mesh`` given, the key batch (and all derived cubes) is sharded
+    over ``axis`` — pure data parallelism over realisations, the BASELINE
+    throughput configuration.
+    """
+    single = make_pipeline(grid, cosmology, config, jit=False)
+    batched = jax.vmap(single)
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    keys_sharding = NamedSharding(mesh, P(axis))
+    return jax.jit(batched, in_shardings=(keys_sharding,))

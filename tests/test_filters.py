@@ -1,0 +1,113 @@
+"""Foreground-cleaning filters vs oracle/analytic expectations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from fastbox_tpu import filters
+
+
+def _mock_cube(rng, n=12, nfreq=16):
+    """FG-dominated cube: smooth power-law spectra + small noise."""
+    freqs = np.linspace(100.0, 150.0, nfreq)
+    amp = 50.0 + 10.0 * rng.standard_normal((n, n))
+    beta = -2.7 + 0.01 * rng.standard_normal((n, n))
+    fg = amp[:, :, None] * (freqs / freqs[0])[None, None, :] ** beta[:, :, None]
+    sig = 0.1 * rng.standard_normal((n, n, nfreq))
+    return fg + sig
+
+
+def test_pca_matches_oracle(rng):
+    cube = _mock_cube(rng)
+    got = np.asarray(filters.pca_filter(jnp.asarray(cube), nmodes=3))
+    want = oracle.pca_filter(cube, nmodes=3)
+    assert np.allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_pca_return_filter(rng):
+    cube = _mock_cube(rng)
+    cleaned, U, amps = filters.pca_filter(jnp.asarray(cube), 2,
+                                          return_filter=True)
+    assert U.shape == (cube.shape[-1], 2)
+    assert amps.shape == (2, cube.shape[0] * cube.shape[1])
+    # U columns orthonormal
+    assert np.allclose(np.asarray(U.T @ U), np.eye(2), atol=1e-10)
+
+
+def test_mean_spectrum_filter(rng):
+    cube = _mock_cube(rng)
+    out = np.asarray(filters.mean_spectrum_filter(jnp.asarray(cube)))
+    means = out.reshape(-1, cube.shape[-1]).mean(axis=0)
+    assert np.allclose(means, 0.0, atol=1e-10)
+
+
+def test_ica_filter_equals_pca_projection(rng):
+    # FastICA reconstruction spans the top-n principal subspace, so the
+    # cleaned field must match PCA's cleaned field.
+    cube = _mock_cube(rng)
+    ica = np.asarray(filters.ica_filter(jnp.asarray(cube), 3,
+                                        key=jax.random.PRNGKey(0)))
+    pca = np.asarray(filters.pca_filter(jnp.asarray(cube), 3))
+    rms = np.sqrt(np.mean(cube**2))
+    assert np.allclose(ica, pca, atol=1e-6 * rms)
+
+
+def test_nmf_filter_reduces_foregrounds(rng):
+    cube = _mock_cube(rng)
+    assert np.all(cube > 0)
+    cleaned = np.asarray(filters.nmf_filter(jnp.asarray(cube), 3,
+                                            max_iter=300))
+    # FG power removed: residual rms far below input rms
+    assert np.sqrt(np.mean(cleaned**2)) < 0.05 * np.sqrt(np.mean(cube**2))
+
+
+def test_kpca_linear_reduces_foregrounds(rng):
+    cube = _mock_cube(rng, n=8)
+    cleaned = np.asarray(filters.kernel_pca_filter(jnp.asarray(cube), 3))
+    d = cube.reshape(-1, cube.shape[-1]).T
+    x = d - d.mean(axis=1, keepdims=True)
+    assert np.sqrt(np.mean(cleaned**2)) < 0.5 * np.sqrt(np.mean(x**2))
+
+
+def test_angular_bandpass_filter(rng):
+    cube = rng.standard_normal((16, 16, 4))
+    out = np.asarray(filters.angular_bandpass_filter(jnp.asarray(cube),
+                                                     0.1, 0.3).real)
+    # oracle: direct numpy masking
+    fk = np.fft.fftn(cube, axes=[0, 1])
+    kx = np.fft.fftfreq(16)
+    k = np.sqrt(kx[:, None] ** 2 + kx[None, :] ** 2)
+    fk[~((k >= 0.1) & (k < 0.3))] *= 0.0
+    want = np.fft.ifftn(fk, axes=[0, 1]).real
+    assert np.allclose(out, want, atol=1e-10)
+
+
+def test_bandpower_pca_filter_runs(rng):
+    cube = _mock_cube(rng)
+    out = np.asarray(filters.bandpower_pca_filter(jnp.asarray(cube), 3, 2))
+    assert out.shape == cube.shape
+    assert np.all(np.isfinite(out))
+
+
+def test_gpr_filter_removes_smooth_component(rng):
+    cube = _mock_cube(rng, n=6, nfreq=24)
+    cleaned = np.asarray(filters.gpr_filter(jnp.asarray(cube), nsteps=300))
+    d = cube.reshape(-1, cube.shape[-1]).T
+    x = d - d.mean(axis=1, keepdims=True)
+    # The smooth FG dominates x; GPR should strip most of it
+    assert np.sqrt(np.mean(cleaned**2)) < 0.5 * np.sqrt(np.mean(x**2))
+
+
+def test_lsq_synchrotron_fit_recovers_params(rng):
+    nfreq, npix = 16, 32
+    freqs = np.linspace(100.0, 200.0, nfreq)
+    beta_true = -2.8 + 0.05 * rng.standard_normal(npix)
+    amp_true = 40.0 + 5.0 * rng.random(npix)
+    x = freqs / freqs[0]
+    data = amp_true[:, None] * x[None, :] ** beta_true[:, None]
+    noise = np.ones_like(data)
+    out = filters.lsq_synchrotron_fit(jnp.asarray(data), jnp.asarray(noise),
+                                      jnp.asarray(freqs), freeind=-2.1)
+    # Model should reproduce the (noise-free) data well
+    resid = np.asarray(out["model"]) - data
+    assert np.sqrt(np.mean(resid**2)) < 0.05 * np.sqrt(np.mean(data**2))

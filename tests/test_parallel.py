@@ -1,0 +1,98 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fastbox_tpu.cosmology import build_cosmology
+from fastbox_tpu.grid import GridSpec
+from fastbox_tpu.parallel import (
+    make_mesh,
+    make_sharded_ensemble_step,
+    pfft2_local,
+    pfft3_local,
+    pifft3_local,
+)
+from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _space_mesh(space=4):
+    devs = np.asarray(jax.devices()[:space]).reshape(1, space)
+    return Mesh(devs, ("ens", "space"))
+
+
+def test_pfft3_matches_fftn():
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 16)) + 1j * rng.standard_normal((2, 16, 16, 16))
+
+    f = shard_map(lambda a: pfft3_local(a, "space"), mesh=mesh,
+                  in_specs=P(None, "space"), out_specs=P(None, "space"),
+                  check_rep=False)
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    want = np.fft.fftn(x, axes=(1, 2, 3))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pifft3_roundtrip():
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 16, 16, 16)) + 0j
+
+    f = shard_map(lambda a: pifft3_local(pfft3_local(a, "space"), "space"),
+                  mesh=mesh, in_specs=P(None, "space"),
+                  out_specs=P(None, "space"), check_rep=False)
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    assert np.allclose(got, x, rtol=1e-9, atol=1e-9)
+
+
+def test_pfft2_matches_fft2():
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 16, 16)) + 1j * rng.standard_normal((3, 16, 16))
+
+    f = shard_map(lambda a: pfft2_local(a, "space"), mesh=mesh,
+                  in_specs=P(None, "space"), out_specs=P(None, "space"),
+                  check_rep=False)
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    want = np.fft.fftn(x, axes=(1, 2))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_ensemble_step_runs(cosmo_z08):
+    grid = GridSpec.create(box_scale=(1e3, 1e3, 1e3), nsamp=16, redshift=0.8)
+    mesh = make_mesh(8, space=4, grid_n=16)
+    config = PipelineConfig(dtype="float64", nbins=8)
+    step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, config)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)  # B=4, ens=2
+    out = step(keys)
+    pk = np.asarray(out["pk_cleaned"])
+    assert pk.shape[0] == 4
+    assert np.all(np.isfinite(pk[:, 1:-2]))
+
+
+def test_sharded_matches_single_chip_statistics(cosmo_z08):
+    """Sharded and single-chip pipelines must produce statistically
+    consistent cleaned spectra (they use different RNG partitions)."""
+    grid = GridSpec.create(box_scale=(2e3, 2e3, 2e3), nsamp=16, redshift=0.8)
+    config = PipelineConfig(dtype="float64", nbins=8, sigma_nl=0.0)
+
+    mesh = make_mesh(8, space=4, grid_n=16)
+    step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, config)
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    pk_sharded = np.asarray(step(keys)["pk_cleaned"])
+
+    single = make_pipeline(grid, cosmo_z08, config)
+    pk_single = np.stack([np.asarray(single(k)["pk_cleaned"]) for k in keys])
+
+    m_sh = np.nanmean(pk_sharded, axis=0)
+    m_si = np.nanmean(pk_single, axis=0)
+    sel = np.isfinite(m_sh) & np.isfinite(m_si) & (m_si > 0)
+    ratio = m_sh[sel] / m_si[sel]
+    # Same physics, different noise draws: agree to within sampling scatter
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5)
