@@ -252,6 +252,29 @@ class CosmoBox:
             self.phi_k = phi_k
         return phi_k
 
+    def realise_density_cola(self, redshift=None, redshift_init=15.0,
+                             keep_velocities=True, seed=None, inplace=True,
+                             n_steps=None):
+        """2LPT+COLA approximate N-body realisation (box.py:463-589).
+
+        Native replacement for the reference's pycola3 path: the whole
+        evolution is a jitted lax.scan (see fields/cola.py).  Returns
+        ``delta_x`` or ``(delta_x, vel_x, vel_y, vel_z)`` like the reference.
+        """
+        from .fields.cola import realise_density_cola as _cola
+
+        z = self.redshift if redshift is None else redshift
+        key = jax.random.PRNGKey(seed) if seed is not None else self.next_key()
+        delta_x, vel = _cola(key, self.grid, self.cosmology_at(z), redshift=z,
+                             redshift_init=redshift_init, n_steps=n_steps,
+                             dtype=self.dtype, keep_velocities=keep_velocities)
+        if inplace:
+            self.delta_x = delta_x
+            self.delta_k = jnp.fft.fftn(delta_x)
+        if keep_velocities:
+            return delta_x, vel[0], vel[1], vel[2]
+        return delta_x
+
     # ------------------------------------------------------------------
     # Transforms (L3)
     # ------------------------------------------------------------------

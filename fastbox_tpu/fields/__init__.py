@@ -1,5 +1,7 @@
 """Field realisation engine and stateless transforms (L2/L3)."""
-from . import gaussian, transforms
+from . import cola, gaussian, lpt, transforms
+from .cola import realise_density_cola
+from .lpt import lpt_displacements
 from .gaussian import (
     gaussian_field_from_whitenoise,
     realise_density,

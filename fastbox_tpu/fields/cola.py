@@ -1,0 +1,236 @@
+"""COLA (COmoving Lagrangian Acceleration) approximate N-body engine.
+
+Native replacement for the reference's optional pycola3 dependency
+(box.py:463-589): 2LPT initial conditions plus a particle-mesh leapfrog in
+which particles evolve *relative to* their 2LPT trajectories (Tassev,
+Zaldarriaga & Eisenstein 2013), so ~10 steps give accurate quasi-linear
+structure.  The whole evolution is one ``lax.scan`` inside jit: CIC paint
+(scatter-add), k-space Poisson solve, CIC force gather, kick/drift with
+host-precomputed step integrals.
+
+Units: comoving Mpc, velocities in km/s (momentum p = a^2 dx/dt), H in
+km/s/Mpc.  Force: lap(phi) = (3/2) Omega_m H0^2 delta / a.  The COLA
+compensation subtracts the LPT acceleration
+d(p_lpt)/dt = (3/2) Omega_m H0^2 / a [D1 psi1 + (D2 - D1^2) psi2],
+which follows from the first- and second-order growth equations.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import quad
+
+from ..cosmology import background as bg
+from ..grid import GridSpec
+from .gaussian import white_noise, gaussian_field_from_whitenoise
+from .lpt import lpt_displacements, second_order_growth
+
+__all__ = ["realise_density_cola", "cic_paint_particles", "cic_gather"]
+
+
+# ----------------------------------------------------------------------
+# CIC scatter / gather on the periodic grid (cell units)
+# ----------------------------------------------------------------------
+def cic_paint_particles(u, N: int, weights=None):
+    """Scatter particles at positions ``u`` (cell units, any real) onto an
+    (N,N,N) periodic mesh with CIC weights."""
+    w = jnp.ones(u.shape[0], u.dtype) if weights is None else weights
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    mesh = jnp.zeros((N, N, N), u.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, N)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, N)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, N)
+                mesh = mesh.at[ix, iy, iz].add(w * wx * wy * wz)
+    return mesh
+
+
+def cic_gather(mesh, u):
+    """Trilinear (CIC) interpolation of a periodic mesh at positions ``u``
+    (cell units)."""
+    N = mesh.shape[0]
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    out = jnp.zeros(u.shape[0], mesh.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, N)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, N)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, N)
+                out = out + mesh[ix, iy, iz] * wx * wy * wz
+    return out
+
+
+# ----------------------------------------------------------------------
+# Host-side step schedule
+# ----------------------------------------------------------------------
+def _growth_scalars(params, a):
+    a_tab, D_tab, f_tab = bg.growth_tables(params)
+    D1 = np.interp(np.log(a), np.log(a_tab), D_tab)
+    f1 = np.interp(np.log(a), np.log(a_tab), f_tab)
+    om = bg.omega_m_of_a(params, a)
+    D2 = second_order_growth(D1, om)
+    # f2 = dlnD2/dlna from D2(a) = -3/7 D1^2 om^(-1/143), numerically
+    eps = 1e-4
+    f2 = (np.log(np.abs(second_order_growth(
+        np.interp(np.log(a * (1 + eps)), np.log(a_tab), D_tab),
+        bg.omega_m_of_a(params, a * (1 + eps)))))
+        - np.log(np.abs(D2))) / np.log(1 + eps)
+    return float(D1), float(f1), float(D2), float(f2)
+
+
+def _kick_drift_integrals(params, a1, a2):
+    """Kick dt = int da/(a H) (dp/da = F/(aH)) and drift
+    int da/(a^3 H) (dx/da = p/(a^3 H)), with p = a^2 dx/dt."""
+    H0 = 100.0 * params.h
+    K = quad(lambda a: 1.0 / (a * bg.e_of_a(params, a)), a1, a2)[0] / H0
+    D = quad(lambda a: 1.0 / (a**3 * bg.e_of_a(params, a)), a1, a2)[0] / H0
+    return K, D
+
+
+# ----------------------------------------------------------------------
+# Main engine
+# ----------------------------------------------------------------------
+def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
+                         redshift_init: float = 15.0, n_steps: int | None = None,
+                         dtype=jnp.float32, keep_velocities: bool = True):
+    """Evolve a 2LPT+COLA realisation to the target redshift.
+
+    Parameters mirror the reference's ``realise_density_cola``
+    (box.py:463-534): ``redshift_init`` is the starting redshift,
+    ``n_steps`` defaults to ``int(1 + z_init)`` as in the pycola3 driver.
+
+    Returns:
+        (delta_x, vel) where delta_x is the CIC density contrast on the grid
+        and vel is a (3, N, N, N) grid of CIC-averaged peculiar velocities in
+        km/s (zeros where empty) if ``keep_velocities``, else None.
+    """
+    assert grid.Lx == grid.Ly == grid.Lz, "COLA requires a cubic box"
+    dtype = jnp.dtype(dtype)
+    params = cosmology.params
+    z_final = grid.redshift if redshift is None else redshift
+    a_init = 1.0 / (1.0 + redshift_init)
+    a_final = 1.0 / (1.0 + z_final)
+    assert redshift_init > z_final, "Must have redshift_init > redshift"
+    if n_steps is None:
+        n_steps = int(1 + redshift_init)
+
+    N = grid.N
+    cell = grid.Lx / N
+    H0 = 100.0 * params.h
+    fac_pm = 1.5 * params.Omega_m * H0**2
+
+    # --- step schedule (host) -------------------------------------
+    a_steps = np.linspace(a_init, a_final, n_steps + 1)
+    a_half = 0.5 * (a_steps[:-1] + a_steps[1:])
+    kicks1, kicks2, drifts = [], [], []
+    D1s, D2s, dD1, dD2, a_force = [], [], [], [], []
+    for i in range(n_steps):
+        K1, _ = _kick_drift_integrals(params, a_steps[i], a_half[i])
+        K2, _ = _kick_drift_integrals(params, a_half[i], a_steps[i + 1])
+        _, Dr = _kick_drift_integrals(params, a_steps[i], a_steps[i + 1])
+        kicks1.append(K1)
+        kicks2.append(K2)
+        drifts.append(Dr)
+        d1a, _, d2a, _ = _growth_scalars(params, a_steps[i])
+        d1b, _, d2b, _ = _growth_scalars(params, a_steps[i + 1])
+        D1s.append(d1a)
+        D2s.append(d2a)
+        dD1.append(d1b - d1a)
+        dD2.append(d2b - d2a)
+        a_force.append(a_steps[i])
+    D1_f, f1_f, D2_f, f2_f = _growth_scalars(params, a_final)
+
+    step_consts = tuple(
+        jnp.asarray(np.asarray(v), dtype)
+        for v in (kicks1, kicks2, drifts, D1s, D2s, dD1, dD2, a_force)
+    )
+
+    # --- initial conditions ---------------------------------------
+    white = white_noise(key, grid, dtype)
+    _, delta_k0 = gaussian_field_from_whitenoise(white, grid, cosmology.pk_lin_z0)
+    psi1, psi2 = lpt_displacements(delta_k0, grid)  # (3,N,N,N) each, Mpc
+
+    q = (jnp.stack(jnp.meshgrid(*(jnp.arange(N, dtype=dtype),) * 3,
+                                indexing="ij"), axis=-1).reshape(-1, 3) * cell)
+    p1 = psi1.reshape(3, -1).T  # (Np, 3)
+    p2 = psi2.reshape(3, -1).T
+
+    d1_init, _, d2_init, _ = _growth_scalars(params, a_init)
+
+    @partial(jax.jit, static_argnames=())
+    def evolve(q, p1, p2):
+        x = q + dtype.type(d1_init) * p1 + dtype.type(d2_init) * p2
+        v = jnp.zeros_like(x)  # residual momentum
+
+        def pm_force(x, a):
+            u = x / cell
+            rho = cic_paint_particles(u, N)
+            delta = rho - 1.0  # mean is exactly 1 particle/cell
+            dk = jnp.fft.fftn(delta)
+            kx, ky, kz = grid.kvec(dtype)
+            k2 = grid.k2(dtype)
+            inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            c = dtype.type(fac_pm) / a
+            # Note: no window deconvolution in the force — W^-2 diverges at
+            # the mesh corners and pumps aliasing noise into the particles.
+            # Growth is therefore mildly suppressed approaching the particle
+            # Nyquist; use a finer force mesh when that regime matters.
+            base = (1j * c) * dk * inv_k2
+            Fx = jnp.fft.ifftn(base * kx[:, None, None]).real
+            Fy = jnp.fft.ifftn(base * ky[None, :, None]).real
+            Fz = jnp.fft.ifftn(base * kz[None, None, :]).real
+            return jnp.stack([
+                cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
+            ], axis=-1)
+
+        def step(carry, consts):
+            x, v = carry
+            K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
+            F = pm_force(x, a_f)
+            # COLA compensation: subtract the LPT acceleration
+            comp = (dtype.type(fac_pm) / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
+            Fres = F - comp
+            v = v + Fres * (K1 + K2)
+            x = x + v * Dr + dD1_ * p1 + dD2_ * p2
+            x = jnp.mod(x, dtype.type(grid.Lx))
+            return (x, v), None
+
+        (x, v), _ = jax.lax.scan(step, (x, v), step_consts)
+
+        u = x / cell
+        rho = cic_paint_particles(u, N)
+        # Deconvolve the CIC assignment window (standard PM practice), so
+        # the output spectrum is unbiased up to the particle Nyquist scale.
+        from ..ops.painting import compensation
+
+        comp_k = compensation(grid, "cic", dtype)
+        delta_x = jnp.fft.ifftn(jnp.fft.fftn(rho - 1.0) * comp_k).real.astype(dtype)
+        if not keep_velocities:
+            return delta_x, None
+        # Total momentum = LPT part at a_final + residual; v_pec = p/a (km/s)
+        a2H = a_final**2 * H0 * float(bg.e_of_a(params, a_final))
+        p_tot = (v
+                 + dtype.type(a2H * f1_f * D1_f) * p1
+                 + dtype.type(a2H * f2_f * D2_f) * p2)
+        vel_grids = []
+        for comp in range(3):
+            m = cic_paint_particles(u, N, weights=p_tot[:, comp])
+            vel_grids.append(jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10), 0.0)
+                             / dtype.type(a_final))
+        return delta_x, jnp.stack(vel_grids)
+
+    return evolve(q, p1, p2)

@@ -1,5 +1,6 @@
 """FFT field ops, binned reductions, RSD remap, and estimators."""
-from . import reduce, rsd, spectra
+from . import painting, reduce, rsd, spectra
+from .painting import compensation, overdensity_from_catalogue, paint_catalogue
 from .reduce import binned_sum_sumsq_count, binned_sums
 from .rsd import redshift_space_density
 from .spectra import (
@@ -11,6 +12,10 @@ from .spectra import (
 )
 
 __all__ = [
+    "painting",
+    "compensation",
+    "overdensity_from_catalogue",
+    "paint_catalogue",
     "reduce",
     "rsd",
     "spectra",

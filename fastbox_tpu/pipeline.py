@@ -131,10 +131,11 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
     def fn(key):
         (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
 
-        # (1) Gaussian density field (conventions of box.py:130-194)
+        # (1) Gaussian density field (conventions of box.py:130-194).
+        # Hermitian projection replaces the fftn(ifftn(.).real) round trip.
         white = gaussian.white_noise(k_dens, grid, dtype)
-        delta_x = jnp.fft.ifftn(white * amp_grid).real.astype(dtype)
-        delta_k = jnp.fft.fftn(delta_x)
+        delta_k = gaussian.hermitian_symmetrize(white * amp_grid)
+        delta_x = jnp.fft.ifftn(delta_k).real.astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)
