@@ -9,7 +9,8 @@ estimation — designed as jit-compiled pipelines sharded over TPU meshes.
 """
 __version__ = "0.1.0"
 
-from . import cosmology, fields, grid, models, ops
+from . import analysis, cosmology, fields, filters, grid, io, models, ops
+from . import parallel, timing, utils
 from .box import CosmoBox, default_cosmo
 from .cosmology import CosmoParams, build_cosmology
 from .grid import GridSpec

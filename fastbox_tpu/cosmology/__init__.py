@@ -16,6 +16,7 @@ from .background import (
 )
 from .eisenstein_hu import linear_power_z0, transfer_eh98
 from .halofit import halofit_power
+from . import massfunction
 from .tables import Cosmology, PowerSpectrumTable, build_cosmology
 
 __all__ = [

@@ -63,6 +63,17 @@ def _sigma2_gauss(lnP_interp, R: float) -> float:
     return _sigma2_moments(lnP_interp, R)[0]
 
 
+def _sigma2_moments_tab(lnk, lnp, R):
+    """Table-based moments: native C++ kernel when available, else the
+    quad-based path above."""
+    from .. import native
+
+    if native.available():
+        return native.sigma2_gauss_moments(lnk, lnp, R)
+    itp = lambda x: np.interp(x, lnk, lnp)
+    return _sigma2_moments(itp, R)
+
+
 def halofit_power(cosmo: CosmoParams, k: np.ndarray, pk_lin: np.ndarray, a: float):
     """Nonlinear P(k) from the revised halofit.
 
@@ -78,10 +89,9 @@ def halofit_power(cosmo: CosmoParams, k: np.ndarray, pk_lin: np.ndarray, a: floa
     pk_lin = np.asarray(pk_lin, dtype=np.float64)
     lnk = np.log(k)
     lnP = np.log(np.maximum(pk_lin, 1e-300))
-    lnP_interp = lambda x: np.interp(x, lnk, lnP)
 
     # --- nonlinear scale: sigma(1/k_sigma) = 1 -------------------------
-    f = lambda lnR: np.log(_sigma2_gauss(lnP_interp, np.exp(lnR)))
+    f = lambda lnR: np.log(_sigma2_moments_tab(lnk, lnP, np.exp(lnR))[0])
     try:
         lnR_sig = brentq(f, np.log(1e-4), np.log(1e3), xtol=1e-8)
     except ValueError:
@@ -91,7 +101,7 @@ def halofit_power(cosmo: CosmoParams, k: np.ndarray, pk_lin: np.ndarray, a: floa
     k_sig = 1.0 / R_sig
 
     # Effective index and curvature from analytic log-derivatives of sigma^2(R)
-    _, dlns_dlnR, d2lns_dlnR2 = _sigma2_moments(lnP_interp, R_sig)
+    _, dlns_dlnR, d2lns_dlnR2 = _sigma2_moments_tab(lnk, lnP, R_sig)
     n_eff = -3.0 - dlns_dlnR
     C_cur = -d2lns_dlnR2
 

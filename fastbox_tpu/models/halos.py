@@ -131,6 +131,26 @@ class HaloDistribution:
         self.box = box
         self.Mmin, self.Mmax = mass_range
         self.mass_bins = mass_bins
+        self.dndlog10M = None
+        self.bias = None
+
+    def construct_bins(self, z):
+        """Binned halo mass function + bias (halos.py:31-50).
+
+        The reference's version is dead code (undefined variable + legacy
+        CCL API); this uses the native Sheth-Tormen implementation
+        (cosmology/massfunction.py).  Sets ``self.dndlog10M`` and
+        ``self.bias`` at the mass-bin centres.
+        """
+        from ..cosmology import massfunction as mf
+
+        edges = np.logspace(np.log10(self.Mmin), np.log10(self.Mmax),
+                            int(self.mass_bins) + 1)
+        centres = 0.5 * (edges[1:] + edges[:-1])
+        cosmology = self.box.cosmology_at(z)
+        self.dndlog10M = mf.dndlog10m(cosmology, centres, z)
+        self.bias = mf.halo_bias(cosmology, centres, z)
+        return centres, self.dndlog10M, self.bias
 
     def halo_count_field(self, delta_x, nbar, bias, lognormal=False):
         return halo_count_field(self.box.next_key(), jnp.asarray(delta_x),

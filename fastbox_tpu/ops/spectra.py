@@ -54,6 +54,9 @@ def _binned_pk_core(grid: GridSpec, delta_k, bins):
     sums, sumsqs, counts = binned_sum_sumsq_count(pk.ravel(), idx, nb)
     vals = sums / counts  # count==0 -> NaN, matching mean-of-empty
     var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
+    # A single-element bin has exactly zero std; clamp the cancellation
+    # residue of the E[x^2]-E[x]^2 form
+    var = jnp.where(counts > 1, var, 0.0)
     stddev = jnp.sqrt(var) / jnp.sqrt(counts)
     return vals, stddev
 

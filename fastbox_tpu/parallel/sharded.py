@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..cosmology import Cosmology
 from ..grid import GridSpec
@@ -208,6 +208,7 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         counts = lax.psum(counts, "space")
         pk_mean = sums / counts
         var = jnp.maximum(sumsqs / counts - pk_mean**2, 0.0)
+        var = jnp.where(counts > 1, var, 0.0)
         pk_err = jnp.sqrt(var) / jnp.sqrt(counts)
 
         return {
@@ -227,7 +228,7 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
             "pk_cleaned_err": P("ens"),
             "sigma_data": P("ens"),
         },
-        check_rep=False,
+        check_vma=False,
     )
 
     keys_sharding = NamedSharding(mesh, P("ens"))

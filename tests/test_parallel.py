@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fastbox_tpu.cosmology import build_cosmology
 from fastbox_tpu.grid import GridSpec
@@ -33,7 +33,7 @@ def test_pfft3_matches_fftn():
 
     f = shard_map(lambda a: pfft3_local(a, "space"), mesh=mesh,
                   in_specs=P(None, "space"), out_specs=P(None, "space"),
-                  check_rep=False)
+                  check_vma=False)
     got = np.asarray(jax.jit(f)(jnp.asarray(x)))
     want = np.fft.fftn(x, axes=(1, 2, 3))
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
@@ -46,7 +46,7 @@ def test_pifft3_roundtrip():
 
     f = shard_map(lambda a: pifft3_local(pfft3_local(a, "space"), "space"),
                   mesh=mesh, in_specs=P(None, "space"),
-                  out_specs=P(None, "space"), check_rep=False)
+                  out_specs=P(None, "space"), check_vma=False)
     got = np.asarray(jax.jit(f)(jnp.asarray(x)))
     assert np.allclose(got, x, rtol=1e-9, atol=1e-9)
 
@@ -58,7 +58,7 @@ def test_pfft2_matches_fft2():
 
     f = shard_map(lambda a: pfft2_local(a, "space"), mesh=mesh,
                   in_specs=P(None, "space"), out_specs=P(None, "space"),
-                  check_rep=False)
+                  check_vma=False)
     got = np.asarray(jax.jit(f)(jnp.asarray(x)))
     want = np.fft.fftn(x, axes=(1, 2))
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
