@@ -7,7 +7,7 @@ implementations of the GPy / lmfit+multiprocessing paths.
 from .bandpass import angular_bandpass_filter, bandpower_pca_filter
 from .gpr import gpr_filter
 from .ica import fastica, ica_filter
-from .kpca import kernel_pca_filter
+from .kpca import kernel_pca_filter, kernel_pca_filter_legacy
 from .lsq import LSQfitting, lsq_synchrotron_fit
 from .nmf import nmf, nmf_filter
 from .pca import mean_spectrum_filter, pca_filter
@@ -19,6 +19,7 @@ __all__ = [
     "gpr_filter",
     "ica_filter",
     "kernel_pca_filter",
+    "kernel_pca_filter_legacy",
     "LSQfitting",
     "lsq_synchrotron_fit",
     "nmf",

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["kernel_pca_filter"]
+__all__ = ["kernel_pca_filter", "kernel_pca_filter_legacy"]
 
 
 def _kernel(X, Y, kind: str, gamma):
@@ -79,3 +79,9 @@ def kernel_pca_filter(field, nmodes: int, kernel: str = "linear",
     if return_filter:
         return cleaned, X_fg
     return cleaned
+
+
+# The reference ships two variants (filters.py:246-370); the "legacy" one is
+# the standard fit/inverse-transform/subtract algorithm, which is what this
+# module implements.  Alias for API parity.
+kernel_pca_filter_legacy = kernel_pca_filter

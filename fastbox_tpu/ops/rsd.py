@@ -36,50 +36,68 @@ from ..grid import GridSpec
 __all__ = ["redshift_space_density", "remap_los_batched"]
 
 
-def _onehot_gather(values, idx, depth):
-    """values (M, C), idx (M, T) -> values[m, idx[m, t]] via MXU matmul."""
-    oh = jax.nn.one_hot(idx, depth, dtype=values.dtype)  # (M, T, C)
-    return jnp.einsum("mc,mtc->mt", values, oh)
+def _pallas_ok(M: int) -> bool:
+    """Use the Pallas interp kernel on TPU-like backends when shapes allow."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon") and M % 128 == 0
 
 
 def remap_los_batched(vals, s, ztarget, fill, method: str = "linear"):
     """Scattered 1-D interpolation of many lines of sight at once.
 
+    Uses the *telescoping* form of piecewise-linear interpolation on the
+    sorted nodes: with dv_c = v_{c+1}-v_c and ds_c = s_{c+1}-s_c,
+
+        out(t) = v_0 + sum_c dv_c * clamp((z_t - s_c)/ds_c, 0, 1)
+
+    which needs no index computation and no gathers at all — just one fused
+    broadcast-reduce over (LOS, segment, target), the access pattern the TPU
+    VPU handles at full rate.  (The equivalent searchsorted+gather
+    formulation is ~5x slower on v5e even with one-hot-matmul gathers.)
+    Targets left of s_0 get v_0, right of s_last get v_last, exactly like
+    sorted linear interpolation; the hull fill is applied afterwards.
+
     Parameters:
         vals: (M, C) sample values per LOS.
         s: (M, C) sample coordinates per LOS (unsorted).
-        ztarget: (C,) target grid (shared by all LOS).
+        ztarget: (T,) target grid (shared by all LOS).
         fill: (M,) fill value per LOS (used by 'linear' outside the hull).
         method: 'linear' or 'nearest'.
 
     Returns:
-        (M, C) interpolated values.
+        (M, T) interpolated values.
     """
-    C = s.shape[-1]
     ss, vv = lax.sort_key_val(s, vals)
 
+    if method == "linear" and _pallas_ok(ss.shape[0]):
+        from .pallas.rsd_interp import interp_sorted_pallas
+
+        return interp_sorted_pallas(ss, vv, ztarget, fill)
+
+    dv = vv[:, 1:] - vv[:, :-1]          # (M, C-1)
+
     if method == "linear":
-        # idx = searchsorted(ss, z, side='right'), clipped to [1, C-1]
-        idx = jnp.sum((ss[:, :, None] <= ztarget[None, None, :]),
-                      axis=1, dtype=jnp.int32)
-        idx = jnp.clip(idx, 1, C - 1)
-        lo = _onehot_gather(ss, idx - 1, C)
-        hi = _onehot_gather(ss, idx, C)
-        vlo = _onehot_gather(vv, idx - 1, C)
-        vhi = _onehot_gather(vv, idx, C)
-        denom = jnp.where(hi > lo, hi - lo, 1.0)
-        w = (ztarget[None, :] - lo) / denom
-        out = vlo * (1.0 - w) + vhi * w
+        ds = ss[:, 1:] - ss[:, :-1]
+        # Duplicate nodes (ds == 0): step transition at the node
+        safe_ds = jnp.where(ds > 0.0, ds, 1.0)
+        frac = (ztarget[None, None, :] - ss[:, :-1, None]) / safe_ds[:, :, None]
+        frac = jnp.where(ds[:, :, None] > 0.0, frac,
+                         (ztarget[None, None, :] >= ss[:, :-1, None]).astype(vv.dtype))
+        w = jnp.clip(frac, 0.0, 1.0)
+        out = vv[:, :1] + jnp.sum(dv[:, :, None] * w, axis=1)
         inside = ((ztarget[None, :] >= ss[:, :1])
                   & (ztarget[None, :] <= ss[:, -1:]))
         return jnp.where(inside, out, fill[:, None])
 
     if method == "nearest":
+        # interp1d 'nearest' (fill_value='extrapolate'): value switches at
+        # segment midpoints, searchsorted(mids, z, side='left') semantics
         mids = 0.5 * (ss[:, 1:] + ss[:, :-1])
-        # interp1d 'nearest' uses searchsorted(mids, z, side='left')
-        idx = jnp.sum((mids[:, :, None] < ztarget[None, None, :]),
-                      axis=1, dtype=jnp.int32)
-        return _onehot_gather(vv, idx, C)
+        step = (mids[:, :, None] < ztarget[None, None, :]).astype(vv.dtype)
+        return vv[:, :1] + jnp.sum(dv[:, :, None] * step, axis=1)
 
     raise ValueError(f"Unsupported RSD interpolation method '{method}'")
 
