@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--redshift", type=float, default=0.8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="vmap this many pipelines per step (ensemble mode)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -51,7 +53,13 @@ def main():
         redshift=args.redshift,
     )
     config = PipelineConfig(dtype="float32")
-    fn = make_pipeline(grid, cosmology, config)
+    if args.batch > 1:
+        from fastbox_tpu.pipeline import make_ensemble_pipeline
+
+        fn_b = make_ensemble_pipeline(grid, cosmology, config)
+        fn = lambda key: fn_b(jax.random.split(key, args.batch))
+    else:
+        fn = make_pipeline(grid, cosmology, config)
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.iters)
 
@@ -68,7 +76,7 @@ def main():
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    rate = args.iters / dt
+    rate = args.iters * args.batch / dt
     if args.verbose:
         pk = np.asarray(outs[-1]["pk_cleaned"])
         print(f"# {dt:.3f}s for {args.iters} pipelines at {args.nsamp}^3 "

@@ -104,3 +104,30 @@ class LSQfitting:
         out = lsq_synchrotron_fit(data, jnp.asarray(noise),
                                   jnp.asarray(freqs), freeind)
         return data - out["model"], out["beta"]
+
+    def give_hest(self, T_obs, freeind, psaveind, flux_cutoff, indspread,
+                  redshift=None):
+        """Fit the point-source model to a data cube (filters.py:726-747).
+
+        Builds the mean point-source temperature from the native
+        PointSourceModel, runs the vmapped per-pixel fit, and returns the
+        residual cube and spectral-index map.
+        """
+        from ..models.foregrounds import PointSourceModel
+
+        box = self.box
+        cosmology = box.cosmology_at(redshift)
+        freqs = box.grid.freq_array(cosmology)
+        ang_x, ang_y = box.grid.pixel_array(cosmology)
+        xside, yside = ang_x.size, ang_y.size
+
+        psmodel = PointSourceModel(box)
+        _, tpsmean = psmodel.construct_cube(flux_cutoff=flux_cutoff,
+                                            beta=psaveind,
+                                            delta_beta=indspread)
+
+        res, spec = self.run_fit(jnp.asarray(T_obs), freqs, xside * yside,
+                                 tpsmean, freeind)
+        residual = res.reshape(xside, yside, freqs.size)
+        bspec = spec.reshape(xside, yside)
+        return residual, bspec

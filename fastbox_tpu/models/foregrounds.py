@@ -367,3 +367,82 @@ class PlanckSkyModel:
             sync_amp[:, :, None] * x[None, None, :] ** sync_idx[:, :, None]
             + free_amp[:, :, None] * x[None, None, :] ** free_idx
         )
+
+    def read_planck_sim_maps(self):
+        """Read the Planck FFP10 simulation maps, converting T_CMB -> T_RJ
+        (foregrounds.py:500-520).  Requires healpy + the .fits files."""
+        import healpy as hp
+
+        out = []
+        for key, ghz in (("ff217", 217.0), ("sync217", 217.0),
+                         ("sync353", 353.0)):
+            path = self.planck_sim_paths[key]
+            out.append(hp.fitsfunc.read_map(path, field=0, nest=False)
+                       / self.planck_corr(ghz))
+        return tuple(out)
+
+    def synch_freefree_maps(self, redshift=None, rotation=(0.0, -62.0, 0.0),
+                            ref_freq=1000.0, free_idx=None, seed_syncidx=None):
+        """Synchrotron/free-free amplitude + spectral-index maps on the box
+        patch (foregrounds.py:523-635).
+
+        Spherical-harmonic synthesis and gnomonic projection are healpy
+        operations (host-side ingest, as in the reference); the resulting
+        flat maps are resampled onto the box pixel grid.
+        """
+        import healpy as hp
+        import numpy as _np
+        import scipy.ndimage
+
+        box = self.box
+        cosmology = box.cosmology_at(redshift)
+        ang_x, ang_y = box.grid.pixel_array(cosmology)
+        xside, yside = len(ang_x), len(ang_y)
+
+        free217, sync217, sync353 = self.read_planck_sim_maps()
+        free217 = free217.copy()
+        free217[free217 < 0.0] = _np.percentile(free217, 3)
+
+        if free_idx is None:
+            free_idx = self.free_idx
+
+        sync_idx = _np.log(sync353 / sync217) / _np.log(353.0 / 217.0)
+        sync_amp = sync217 * ((ref_freq / 1000.0) / 217.0) ** sync_idx
+        free_amp = free217 * ((ref_freq / 1000.0) / 217.0) ** free_idx
+
+        # Small-scale synch-index fluctuations with C_l ~ l^-2.4
+        # (foregrounds.py:587-596)
+        ells = _np.arange(1.0, 4001.0)
+        rng = _np.random.default_rng(seed_syncidx)
+        cl0 = _np.var(sync_idx) / 4000.0
+        cls = cl0 * (1000.0 / ells) ** 2.4
+        nside = hp.get_nside(sync_idx)
+        sync_idx = sync_idx + hp.sphtfunc.synfast(cls, nside)
+
+        reso_arcmin = hp.nside2resol(nside, arcmin=True)
+        npix_proj = int(_np.ceil(54.1 * 60.0 / reso_arcmin))
+
+        def project(m):
+            proj = hp.visufunc.gnomview(m, coord="G", rot=rotation,
+                                        xsize=npix_proj, ysize=npix_proj,
+                                        reso=reso_arcmin, flip="astro",
+                                        return_projected_map=True, no_plot=True)
+            m2 = _np.asarray(proj)[::-1]
+            zoom = _np.array([xside, yside]) / _np.array(m2.shape)
+            return scipy.ndimage.zoom(m2, zoom, order=3)
+
+        return (project(sync_amp) * 1e3, project(free_amp) * 1e3,
+                project(sync_idx))
+
+    def construct_cube(self, redshift=None, rotation=(0.0, -62.0, 0.0),
+                       ref_freq=1000.0, seed_syncidx=None):
+        """Planck Sky Model datacube in mK (foregrounds.py:638-681)."""
+        box = self.box
+        cosmology = box.cosmology_at(redshift)
+        freqs = box.grid.freq_array(cosmology)
+        sync_amp, free_amp, sync_idx = self.synch_freefree_maps(
+            redshift=redshift, rotation=rotation, ref_freq=ref_freq,
+            seed_syncidx=seed_syncidx)
+        return self.assemble_cube(jnp.asarray(sync_amp), jnp.asarray(free_amp),
+                                  jnp.asarray(sync_idx), freqs, ref_freq,
+                                  self.free_idx)

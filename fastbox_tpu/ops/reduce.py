@@ -70,3 +70,36 @@ def binned_sums(values, bin_idx, nbins: int):
     """Per-bin sums only (single-stat variant)."""
     acc = _chunked(values.ravel(), bin_idx.ravel().astype(jnp.int32), nbins, 1)
     return acc[0]
+
+
+def binned_weighted_sum_sumsq_count(values, weights, bin_idx, nbins: int):
+    """Weighted per-bin (sum w*v, sum w*v^2, sum w) in one pass.
+
+    Used for half-spectrum (rfft) mode counting, where interior modes carry
+    multiplicity 2 and the self-conjugate planes multiplicity 1 — making the
+    reduction exactly equal to the full-grid version.
+    """
+    v = values.ravel()
+    w = weights.ravel().astype(v.dtype)
+    b = bin_idx.ravel().astype(jnp.int32)
+    n = v.shape[0]
+    chunk = min(_CHUNK, n)
+    pad = (-n) % chunk
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, v.dtype)])
+        b = jnp.concatenate([b, jnp.full(pad, nbins, dtype=b.dtype)])
+    m = v.shape[0] // chunk
+    v = v.reshape(m, chunk)
+    w = w.reshape(m, chunk)
+    b = b.reshape(m, chunk)
+
+    def body(acc, xs):
+        vv, ww, bb = xs
+        onehot = jax.nn.one_hot(bb, nbins + 1, dtype=vv.dtype)
+        stacked = jnp.stack([ww * vv, ww * vv * vv, ww])
+        return acc + jnp.dot(stacked, onehot, preferred_element_type=vv.dtype), None
+
+    init = jnp.zeros((3, nbins + 1), v.dtype)
+    acc, _ = jax.lax.scan(body, init, (v, w, b))
+    return acc[0, :nbins], acc[1, :nbins], acc[2, :nbins]

@@ -119,23 +119,53 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         * jnp.asarray(grid.boxfactor, dtype)
     )
 
-    # Velocity k-weights, also static per (grid, cosmology)
+    # Velocity k-weights, also static per (grid, cosmology).  The pipeline
+    # works on the rfft half-spectrum (the field is real): half the FFT cost
+    # and half the reduction traffic, exactly equivalent to the full grid.
+    H = grid.N // 2 + 1
     vel_fac = (100.0 * cosmology.h * cosmology.Ea * cosmology.growth_rate
                * cosmology.scale_factor)
     kz = grid.kvec(dtype)[2]
     k2 = grid.k2(dtype)
     inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
-    vz_weight = (vel_fac * kz[None, None, :] * inv_k2).astype(dtype)
-    nyq_z = grid.nyquist_mask(2)
+    vz_weight = (vel_fac * kz[None, None, :] * inv_k2).astype(dtype)[..., :H]
+    nyq_z = grid.nyquist_mask(2)[:H]
+    # Half-spectrum mode multiplicity: interior kz modes represent a
+    # conjugate pair; the kz=0 and (even N) Nyquist planes are their own
+    kz_weight = np.full(H, 2.0, dtype=np.float64)
+    kz_weight[0] = 1.0
+    if grid.N % 2 == 0:
+        kz_weight[-1] = 1.0
+    mode_weight = jnp.asarray(np.broadcast_to(kz_weight[None, None, :],
+                                              (grid.N, grid.N, H)).copy(),
+                              dtype)
+    kmag_half = grid.kmag(dtype)[..., :H]
+    kbins_edges = np.asarray(spectra_ops.default_kbins(grid, config.nbins))
+    _e = np.concatenate([[0.0], kbins_edges])
+    kcent = 0.5 * (_e[1:] + _e[:-1])
+    edges_j = jnp.asarray(kbins_edges, dtype)
+    bin_idx_half = jnp.searchsorted(edges_j, kmag_half.ravel(), side="right")
+    nb = kbins_edges.size
+
+    def _binned_half(pk_half):
+        from .ops.reduce import binned_weighted_sum_sumsq_count
+
+        sums, sumsqs, counts = binned_weighted_sum_sumsq_count(
+            pk_half.ravel(), mode_weight.ravel(), bin_idx_half, nb)
+        vals = sums / counts
+        var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
+        var = jnp.where(counts > 1, var, 0.0)
+        return vals[1:], (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
 
     def fn(key):
         (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
 
         # (1) Gaussian density field (conventions of box.py:130-194).
-        # Hermitian projection replaces the fftn(ifftn(.).real) round trip.
+        # Hermitian projection replaces the fftn(ifftn(.).real) round trip;
+        # the half-spectrum then drives real FFTs.
         white = gaussian.white_noise(k_dens, grid, dtype)
-        delta_k = gaussian.hermitian_symmetrize(white * amp_grid)
-        delta_x = jnp.fft.ifftn(delta_k).real.astype(dtype)
+        delta_k = gaussian.hermitian_symmetrize(white * amp_grid)[..., :H]
+        delta_x = jnp.fft.irfftn(delta_k, s=grid.shape).astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)
@@ -143,7 +173,7 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         # (3) LOS velocity from the Gaussian field (z component only)
         vz_k = (1j * delta_k) * vz_weight
         vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
-        vel_z = jnp.fft.ifftn(vz_k).real.astype(dtype)
+        vel_z = jnp.fft.irfftn(vz_k, s=grid.shape).astype(dtype)
 
         # (4) RSD remap
         delta_s = rsd_ops.redshift_space_density(
@@ -181,15 +211,15 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         cleaned = pca_filter(data, config.pca_nmodes)
 
         # (9) binned P(k) of the cleaned cube and the underlying density
-        kc, pk_clean, pk_err = spectra_ops.binned_power_spectrum(
-            grid, delta_x=cleaned, nbins=config.nbins
-        )
-        _, pk_dens, _ = spectra_ops.binned_power_spectrum(
-            grid, delta_k=delta_k, nbins=config.nbins
-        )
+        # (half-spectrum reductions, multiplicity-weighted: exactly the
+        # full-grid convention of box.py:696-768)
+        boxf = jnp.asarray(grid.boxfactor, dtype)
+        ck = jnp.fft.rfftn(cleaned)
+        pk_clean, pk_err = _binned_half((ck * jnp.conj(ck)).real / boxf)
+        pk_dens, _ = _binned_half((delta_k * jnp.conj(delta_k)).real / boxf)
 
         return {
-            "k": kc,
+            "k": jnp.asarray(kcent[1:], dtype),
             "pk_cleaned": pk_clean,
             "pk_cleaned_err": pk_err,
             "pk_density": pk_dens,

@@ -25,6 +25,32 @@ def test_single_pipeline(cosmo_z08):
     assert np.allclose(pk, np.asarray(out2["pk_cleaned"]), equal_nan=True)
 
 
+def test_pipeline_halfspectrum_matches_fullgrid(cosmo_z08):
+    """The rfft half-spectrum path must reproduce the full-grid binned
+    spectrum exactly (multiplicity weighting)."""
+    import jax.numpy as jnp
+
+    from fastbox_tpu.fields import gaussian
+    from fastbox_tpu.ops import spectra
+
+    config = PipelineConfig(dtype="float64", nbins=10)
+    fn = make_pipeline(GRID, cosmo_z08, config)
+    key = jax.random.PRNGKey(5)
+    out = fn(key)
+
+    # Recreate the same white-noise draw and compute the full-grid spectrum
+    k_dens = jax.random.split(key, 5)[0]
+    white = gaussian.white_noise(k_dens, GRID, jnp.float64)
+    amp = jnp.sqrt(jnp.nan_to_num(cosmo_z08.pk_nl(GRID.kmag(jnp.float64)))
+                   * GRID.boxfactor)
+    delta_k = gaussian.hermitian_symmetrize(white * amp)
+    kc, pk_full, _ = spectra.binned_power_spectrum(GRID, delta_k=delta_k,
+                                                   nbins=10)
+    assert np.allclose(np.asarray(out["k"]), np.asarray(kc))
+    assert np.allclose(np.asarray(out["pk_density"]), np.asarray(pk_full),
+                       rtol=1e-9, equal_nan=True)
+
+
 def test_pipeline_no_fg_no_noise(cosmo_z08):
     config = PipelineConfig(dtype="float64", nbins=8,
                             include_foregrounds=False, include_noise=False)
