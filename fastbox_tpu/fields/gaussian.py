@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..grid import GridSpec
 
@@ -33,6 +34,40 @@ __all__ = [
 
 def _complex_dtype(real_dtype):
     return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
+
+
+def hermitian_half_noise(key, grid: GridSpec, dtype=jnp.float32):
+    """Complex white noise drawn directly on the rfft half-spectrum, with
+    the exact statistics of ``hermitian_symmetrize(white_noise(...))``.
+
+    Interior kz modes (0 < l < N/2) get independent CN parts of variance
+    1/2 (each represents a +-k pair of the full draw); the kz=0 and (even
+    N) kz=N/2 planes are internally conjugate-paired, so they are realised
+    as 2D Hermitian projections of unit-variance plane noise.  Memory and
+    RNG cost are half the full-grid draw.
+    """
+    N = grid.N
+    H = N // 2 + 1
+    k_int, k_p0, k_pn = jax.random.split(key, 3)
+
+    kre, kim = jax.random.split(k_int)
+    half = (jax.random.normal(kre, (N, N, H), dtype)
+            + 1j * jax.random.normal(kim, (N, N, H), dtype)) \
+        * jnp.asarray(np.sqrt(0.5), dtype)
+
+    def herm_plane(k):
+        k1, k2 = jax.random.split(k)
+        w = (jax.random.normal(k1, (N, N), dtype)
+             + 1j * jax.random.normal(k2, (N, N), dtype))
+        rev = w
+        for axis in (0, 1):
+            rev = jnp.roll(jnp.flip(rev, axis), 1, axis)
+        return 0.5 * (w + jnp.conj(rev))
+
+    half = half.at[:, :, 0].set(herm_plane(k_p0))
+    if N % 2 == 0:
+        half = half.at[:, :, H - 1].set(herm_plane(k_pn))
+    return half
 
 
 def hermitian_symmetrize(A):

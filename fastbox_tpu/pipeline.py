@@ -111,67 +111,80 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
 
     pk_fn = cosmology.pk_lin if config.linear_pk else cosmology.pk_nl
 
-    # P(k) -> sqrt(P * boxfactor) amplitude grid, tabulated ONCE at build
-    # time: the interpolation over 16M |k| values is ~300 ms on TPU, pure
-    # overhead when repeated per realisation.
-    amp_grid = jnp.sqrt(
-        jnp.nan_to_num(pk_fn(grid.kmag(dtype)))
-        * jnp.asarray(grid.boxfactor, dtype)
-    )
-
-    # Velocity k-weights, also static per (grid, cosmology).  The pipeline
-    # works on the rfft half-spectrum (the field is real): half the FFT cost
-    # and half the reduction traffic, exactly equivalent to the full grid.
+    # The pipeline works on the rfft half-spectrum (the field is real):
+    # half the FFT cost and half the reduction traffic, exactly equivalent
+    # to the full grid.  Large per-grid arrays (the sqrt(P) amplitude) are
+    # passed as *arguments* to the jitted function rather than closed-over
+    # constants — embedded constants are shipped with the program to the
+    # compiler and blow up at 512^3+.
     H = grid.N // 2 + 1
-    vel_fac = (100.0 * cosmology.h * cosmology.Ea * cosmology.growth_rate
-               * cosmology.scale_factor)
-    kz = grid.kvec(dtype)[2]
-    k2 = grid.k2(dtype)
-    inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
-    vz_weight = (vel_fac * kz[None, None, :] * inv_k2).astype(dtype)[..., :H]
+    vel_fac = float(100.0 * cosmology.h * cosmology.Ea
+                    * cosmology.growth_rate * cosmology.scale_factor)
+
+    kxv, kyv, kzv = grid.kvec(dtype)
+    kz_half = kzv[:H]
     nyq_z = grid.nyquist_mask(2)[:H]
-    # Half-spectrum mode multiplicity: interior kz modes represent a
-    # conjugate pair; the kz=0 and (even N) Nyquist planes are their own
+
+    # sqrt(P(k) boxfactor) on the half grid, tabulated once at build time
+    # (the table interpolation over N^3/2 values costs ~150 ms on TPU).
+    kmag_half_build = jnp.sqrt(kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
+                               + kz_half[None, None, :] ** 2)
+    amp_half = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_half_build))
+                        * jnp.asarray(grid.boxfactor, dtype)).astype(dtype)
+    del kmag_half_build
+
+    # Half-spectrum mode multiplicity along kz
     kz_weight = np.full(H, 2.0, dtype=np.float64)
     kz_weight[0] = 1.0
     if grid.N % 2 == 0:
         kz_weight[-1] = 1.0
-    mode_weight = jnp.asarray(np.broadcast_to(kz_weight[None, None, :],
-                                              (grid.N, grid.N, H)).copy(),
-                              dtype)
-    kmag_half = grid.kmag(dtype)[..., :H]
+    kzw_j = jnp.asarray(kz_weight, dtype)
+
     kbins_edges = np.asarray(spectra_ops.default_kbins(grid, config.nbins))
     _e = np.concatenate([[0.0], kbins_edges])
     kcent = 0.5 * (_e[1:] + _e[:-1])
     edges_j = jnp.asarray(kbins_edges, dtype)
-    bin_idx_half = jnp.searchsorted(edges_j, kmag_half.ravel(), side="right")
     nb = kbins_edges.size
 
-    def _binned_half(pk_half):
+    # Bin indices precomputed once on device, passed as a runtime argument
+    # (recomputing the searchsorted per call costs ~7 ms at 256^3)
+    _kmag_b = jnp.sqrt(kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
+                       + kz_half[None, None, :] ** 2)
+    bin_idx_arg = jnp.searchsorted(edges_j, _kmag_b.ravel(),
+                                   side="right").astype(jnp.int32)
+    del _kmag_b
+
+    def _binned_half(pk_half, bin_idx):
         from .ops.reduce import binned_weighted_sum_sumsq_count
 
+        w = jnp.broadcast_to(kzw_j[None, None, :], pk_half.shape)
         sums, sumsqs, counts = binned_weighted_sum_sumsq_count(
-            pk_half.ravel(), mode_weight.ravel(), bin_idx_half, nb)
+            pk_half.ravel(), w.ravel(), bin_idx, nb)
         vals = sums / counts
         var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
         var = jnp.where(counts > 1, var, 0.0)
         return vals[1:], (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
 
-    def fn(key):
+    def fn_inner(key, amp_half, bin_idx):
         (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
 
-        # (1) Gaussian density field (conventions of box.py:130-194).
-        # Hermitian projection replaces the fftn(ifftn(.).real) round trip;
-        # the half-spectrum then drives real FFTs.
-        white = gaussian.white_noise(k_dens, grid, dtype)
-        delta_k = gaussian.hermitian_symmetrize(white * amp_grid)[..., :H]
+        # (1) Gaussian density field (conventions of box.py:130-194): noise
+        # drawn directly on the Hermitian half-spectrum (statistics identical
+        # to the reference's full draw + .real projection).
+        white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
+        delta_k = white_h * amp_half
         delta_x = jnp.fft.irfftn(delta_k, s=grid.shape).astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)
 
-        # (3) LOS velocity from the Gaussian field (z component only)
-        vz_k = (1j * delta_k) * vz_weight
+        # (3) LOS velocity from the Gaussian field (z component only);
+        # k-weights built on the fly (XLA fuses the broadcasts)
+        k2 = (kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
+              + kz_half[None, None, :] ** 2)
+        inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+        vz_k = (1j * delta_k) * (dtype.type(vel_fac)
+                                 * kz_half[None, None, :] * inv_k2)
         vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
         vel_z = jnp.fft.irfftn(vz_k, s=grid.shape).astype(dtype)
 
@@ -215,8 +228,10 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         # full-grid convention of box.py:696-768)
         boxf = jnp.asarray(grid.boxfactor, dtype)
         ck = jnp.fft.rfftn(cleaned)
-        pk_clean, pk_err = _binned_half((ck * jnp.conj(ck)).real / boxf)
-        pk_dens, _ = _binned_half((delta_k * jnp.conj(delta_k)).real / boxf)
+        pk_clean, pk_err = _binned_half((ck * jnp.conj(ck)).real / boxf,
+                                        bin_idx)
+        pk_dens, _ = _binned_half((delta_k * jnp.conj(delta_k)).real / boxf,
+                                  bin_idx)
 
         return {
             "k": jnp.asarray(kcent[1:], dtype),
@@ -226,7 +241,10 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
             "sigma_data": jnp.std(data),
         }
 
-    return jax.jit(fn) if jit else fn
+    if jit:
+        inner = jax.jit(fn_inner)
+        return lambda key: inner(key, amp_half, bin_idx_arg)
+    return lambda key: fn_inner(key, amp_half, bin_idx_arg)
 
 
 def make_ensemble_pipeline(grid: GridSpec, cosmology: Cosmology,

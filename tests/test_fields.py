@@ -81,6 +81,24 @@ def test_seeded_reproducibility(cosmo_z0):
     assert not np.allclose(np.asarray(dx1), np.asarray(dx3))
 
 
+def test_hermitian_half_noise_statistics(cosmo_z0):
+    """Direct half-spectrum draw must reproduce the full-draw field
+    statistics: unit white-noise variance and Hermitian consistency."""
+    grid = GridSpec.create(box_scale=1e3, nsamp=32)
+    H = 32 // 2 + 1
+    vars_ = []
+    for seed in range(6):
+        half = gaussian.hermitian_half_noise(jax.random.PRNGKey(seed), grid,
+                                             jnp.float64)
+        # Round trip: irfftn then rfftn must reproduce the half spectrum
+        x = jnp.fft.irfftn(half, s=grid.shape)
+        back = jnp.fft.rfftn(x)
+        assert np.allclose(np.asarray(back), np.asarray(half), atol=1e-10)
+        # Unit-variance white noise: var(x) * N^3 == 1 (Parseval)
+        vars_.append(float(jnp.var(x)) * 32**3)
+    assert np.isclose(np.mean(vars_), 1.0, rtol=0.05)
+
+
 def test_field_statistics(cosmo_z0):
     # Variance of the realised field should match sum P(k) boxfactor / N^6
     grid = GridSpec.create(box_scale=1e3, nsamp=32)

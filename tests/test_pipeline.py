@@ -38,13 +38,16 @@ def test_pipeline_halfspectrum_matches_fullgrid(cosmo_z08):
     key = jax.random.PRNGKey(5)
     out = fn(key)
 
-    # Recreate the same white-noise draw and compute the full-grid spectrum
+    # Recreate the same half-spectrum draw, go to real space, and compute
+    # the *full-grid* spectrum through the standard estimator
     k_dens = jax.random.split(key, 5)[0]
-    white = gaussian.white_noise(k_dens, GRID, jnp.float64)
-    amp = jnp.sqrt(jnp.nan_to_num(cosmo_z08.pk_nl(GRID.kmag(jnp.float64)))
-                   * GRID.boxfactor)
-    delta_k = gaussian.hermitian_symmetrize(white * amp)
-    kc, pk_full, _ = spectra.binned_power_spectrum(GRID, delta_k=delta_k,
+    white_h = gaussian.hermitian_half_noise(k_dens, GRID, jnp.float64)
+    H = GRID.N // 2 + 1
+    amp_half = jnp.sqrt(
+        jnp.nan_to_num(cosmo_z08.pk_nl(GRID.kmag(jnp.float64)))[..., :H]
+        * GRID.boxfactor)
+    delta_x = jnp.fft.irfftn(white_h * amp_half, s=GRID.shape)
+    kc, pk_full, _ = spectra.binned_power_spectrum(GRID, delta_x=delta_x,
                                                    nbins=10)
     assert np.allclose(np.asarray(out["k"]), np.asarray(kc))
     assert np.allclose(np.asarray(out["pk_density"]), np.asarray(pk_full),
