@@ -39,7 +39,7 @@ dt = time.time() - t0
 print(f"{BATCH} pipelines in {dt:.2f}s -> {BATCH/dt:.1f} pipelines/sec")
 
 pk = np.asarray(out["pk_cleaned"])  # (BATCH, nbins-1)
-k = np.asarray(out["k"])
+k = np.asarray(out["k"])[0]         # bin centres (identical across the batch)
 mean = np.nanmean(pk, axis=0)
 scatter = np.nanstd(pk, axis=0)
 print("\n  k [1/Mpc]   <P(k)>        sigma(P)  (over the ensemble)")

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .params import CosmoParams, as_cosmo_params
 from . import background as bg
 
 __all__ = ["sigma_m", "dndlog10m", "halo_bias", "RHO_CRIT0"]

@@ -65,6 +65,9 @@ class PipelineConfig:
     tp_hours: float = 2.0
     fov_deg2: float = 1.0
     Ndish: int = 64
+    # Instrument response (config 3: anisotropic filter + beam)
+    beam_dish_m: float | None = None   # Gaussian beam FWHM = 1.22 lambda/D
+    kpar_min: float | None = None      # foreground-avoidance high-pass (1/Mpc)
     # Cleaning + estimation
     pca_nmodes: int = 4
     nbins: int = 20
@@ -219,6 +222,27 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         if config.include_noise:
             data = data + (jax.random.normal(k_noise, grid.shape, dtype)
                            * sigma_j[None, None, :])
+
+        # (7b) instrument response (config 3): per-channel Gaussian beam in
+        # k_perp, and a k_par foreground-avoidance high-pass
+        if config.beam_dish_m is not None:
+            from .constants import C_MS
+
+            lam = C_MS / (freqs * 1e6)
+            fwhm = 1.22 * lam / config.beam_dish_m           # rad
+            sigma_r = (fwhm / np.sqrt(8.0 * np.log(2.0))) * cosmology.chi
+            sig_j = jnp.asarray(sigma_r, dtype)              # (Nfreq,) Mpc
+            kperp2 = (kxv[:, None] ** 2
+                      + kyv[: grid.N // 2 + 1][None, :] ** 2)
+            dk2 = jnp.fft.rfftn(data, axes=(0, 1))
+            B = jnp.exp(-0.5 * kperp2[:, :, None] * (sig_j**2)[None, None, :])
+            data = jnp.fft.irfftn(dk2 * B, s=(grid.N, grid.N),
+                                  axes=(0, 1)).astype(dtype)
+        if config.kpar_min is not None:
+            dkz = jnp.fft.rfft(data, axis=2)
+            T = 1.0 - jnp.exp(-0.5 * (kz_half / dtype.type(config.kpar_min)) ** 2)
+            data = jnp.fft.irfft(dkz * T[None, None, :], n=grid.N,
+                                 axis=2).astype(dtype)
 
         # (8) PCA clean
         cleaned = pca_filter(data, config.pca_nmodes)

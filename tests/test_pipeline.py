@@ -62,6 +62,20 @@ def test_pipeline_no_fg_no_noise(cosmo_z08):
     assert 0.01 < float(out["sigma_data"]) < 1.0
 
 
+def test_pipeline_instrument_response(cosmo_z08):
+    """Beam + k_par filter options (config 3) run and act in the right
+    direction: both suppress total data variance."""
+    base = PipelineConfig(dtype="float64", nbins=8, include_foregrounds=False,
+                          include_noise=False)
+    out0 = make_pipeline(GRID, cosmo_z08, base)(jax.random.PRNGKey(9))
+    cfg_b = PipelineConfig(dtype="float64", nbins=8,
+                           include_foregrounds=False, include_noise=False,
+                           beam_dish_m=13.5, kpar_min=0.05)
+    out1 = make_pipeline(GRID, cosmo_z08, cfg_b)(jax.random.PRNGKey(9))
+    assert float(out1["sigma_data"]) < float(out0["sigma_data"])
+    assert np.isfinite(np.asarray(out1["pk_cleaned"])).sum() >= 3
+
+
 def test_ensemble_pipeline(cosmo_z08):
     fn = make_ensemble_pipeline(GRID, cosmo_z08,
                                 PipelineConfig(dtype="float64", nbins=8))
