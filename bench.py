@@ -74,6 +74,10 @@ def main():
     t0 = time.perf_counter()
     outs = [fn(keys[args.warmup + i]) for i in range(args.iters)]
     jax.block_until_ready(outs)
+    # Hard sync: materialise the last result on the host.  Execution is a
+    # FIFO stream, so this guarantees every queued program finished even if
+    # block_until_ready returns early through the remote-execution tunnel.
+    np.asarray(outs[-1]["pk_cleaned"])
     dt = time.perf_counter() - t0
 
     rate = args.iters * args.batch / dt

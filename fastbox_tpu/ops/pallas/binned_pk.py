@@ -106,12 +106,3 @@ def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
         kz2.astype(dtype).reshape(1, N),
     )
     return out[0, :nbins], out[1, :nbins], out[2, :nbins]
-
-
-def supported(dtype) -> bool:
-    """Pallas path requires f32 on a real TPU backend."""
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    return on_tpu and jnp.dtype(dtype) == jnp.float32

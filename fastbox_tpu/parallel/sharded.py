@@ -126,9 +126,11 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
         vel = vel_z
         if config.sigma_nl > 0.0:
-            nl_key = jax.random.fold_in(jax.random.fold_in(keys_local[0], s), 17)
-            vel = vel + dtype.type(config.sigma_nl) * jax.random.normal(
-                nl_key, vel.shape, dtype)
+            def draw_nl(key):
+                nl_key = jax.random.fold_in(jax.random.fold_in(key, s), 17)
+                return jax.random.normal(nl_key, (Np, N, N), dtype)
+
+            vel = vel + dtype.type(config.sigma_nl) * jax.vmap(draw_nl)(keys_local)
         svals = jnp.asarray(zgrid, dtype)[None, None, None, :] - vel / dtype.type(Hz)
         L_z = zgrid[-1] - zgrid[0]
         svals = (svals - dtype.type(zgrid[0])) % dtype.type(L_z) + dtype.type(zgrid[0])
