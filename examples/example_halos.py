@@ -44,6 +44,9 @@ with stage("(4) Auto + cross spectra") as s:
     p_hm = power_spectrum(box.grid, delta_h, second=delta_x)
     s["sync"] = p_hm["power"]
 
+# Note: like the reference example, halo counts come from the *Gaussian*
+# density with Nbar clipped at zero; at this resolution sigma_cell > 1, so
+# the clipping suppresses the effective bias below the input value.
 shot = box.grid.volume / cat.shape[0]
 k = np.asarray(p_hh["k"])
 print("\n  k [1/Mpc]   P_hh          P_mm          P_hm         b_eff")

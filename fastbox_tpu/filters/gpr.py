@@ -77,12 +77,25 @@ def _fit_gpr(x, bounds, nsteps: int = 500, lr: float = 0.05):
     return theta, unpack(theta), losses[-1]
 
 
-def gpr_filter(field, return_filter: bool = False, nsteps: int = 500):
+def gpr_filter(field, kernels=None, return_filter: bool = False,
+               opt_messages: bool = False, opt_num_restarts: int = 0,
+               nsteps: int = 500):
     """GPR foreground clean of a (Nx, Ny, Nfreq) datacube (filters.py:494-595).
 
     Subtracts the RBF (foreground) posterior mean; the Exponential component
     and noise stay in the residual.
+
+    ``kernels``, ``opt_messages`` and ``opt_num_restarts`` exist for
+    signature parity with the reference's GPy wrapper; custom GPy kernel
+    objects cannot be consumed here (the RBF+Exponential default — the
+    reference's own default — is always used), and the Adam optimiser does
+    not restart.
     """
+    if kernels is not None:
+        raise NotImplementedError(
+            "custom GPy kernels are not supported; the default "
+            "RBF(foreground) + Exponential(signal) model is used")
+    del opt_messages, opt_num_restarts
     shape = field.shape
     d = field.reshape((-1, shape[-1])).T        # (Nfreq, Npix)
     x = d - jnp.mean(d, axis=1, keepdims=True)

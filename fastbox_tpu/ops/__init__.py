@@ -1,5 +1,6 @@
 """FFT field ops, binned reductions, RSD remap, and estimators."""
-from . import painting, reduce, rsd, spectra
+from . import nbodykit_compat, painting, reduce, rsd, spectra
+from .nbodykit_compat import ArrayCatalog, ArrayMesh, FFTCorr, FFTPower
 from .painting import compensation, overdensity_from_catalogue, paint_catalogue
 from .reduce import binned_sum_sumsq_count, binned_sums
 from .rsd import redshift_space_density
@@ -12,6 +13,11 @@ from .spectra import (
 )
 
 __all__ = [
+    "nbodykit_compat",
+    "ArrayCatalog",
+    "ArrayMesh",
+    "FFTCorr",
+    "FFTPower",
     "painting",
     "compensation",
     "overdensity_from_catalogue",

@@ -98,6 +98,20 @@ def test_box_coordinates():
     assert np.all(np.diff(box.freq_array(redshift=2.0)) < 0.0)
 
 
+def test_box_kgrid_attributes():
+    """Reference-compatible Kx/Ky/Kz/k attributes (box.py:110-127)."""
+    box = CosmoBox(cosmo=default_cosmo, box_scale=(1e2, 2e2, 4e2), nsamp=8,
+                   realise_now=False)
+    idx = np.fft.fftfreq(8, 1.0) * 8
+    assert np.allclose(box.Kx[:, 0, 0], idx)
+    assert np.allclose(box.Ky[0, :, 0], idx)
+    assert np.allclose(box.Kz[0, 0, :], idx)
+    want = 2.0 * np.pi * np.sqrt((box.Kx / 100.0) ** 2 + (box.Ky / 200.0) ** 2
+                                 + (box.Kz / 400.0) ** 2)
+    assert np.allclose(box.k, want)
+    assert np.isclose(box.boxfactor, 8.0**6 / (1e2 * 2e2 * 4e2))
+
+
 def test_box_errors():
     with pytest.raises(TypeError):
         CosmoBox(cosmo=[0.7, 0.3], box_scale=(1e2, 1e2, 1e2), nsamp=16,
