@@ -10,7 +10,7 @@ from .ica import fastica, ica_filter
 from .kpca import kernel_pca_filter, kernel_pca_filter_legacy
 from .lsq import LSQfitting, lsq_synchrotron_fit
 from .nmf import nmf, nmf_filter
-from .pca import mean_spectrum_filter, pca_filter
+from .pca import mean_spectrum_filter, pca_filter, pca_filter_subspace
 
 __all__ = [
     "angular_bandpass_filter",
@@ -26,4 +26,5 @@ __all__ = [
     "nmf_filter",
     "mean_spectrum_filter",
     "pca_filter",
+    "pca_filter_subspace",
 ]

@@ -61,3 +61,39 @@ def pca_filter(field, nmodes: int, return_filter: bool = False):
     if return_filter:
         return cleaned, U_fg, fg_amps
     return cleaned
+
+
+@partial(jax.jit, static_argnames=("nmodes", "iters"))
+def pca_filter_subspace(field, nmodes: int, iters: int = 16):
+    """PCA clean via subspace (block power) iteration instead of a full eigh.
+
+    The cleaned field depends only on the span of the top eigenvectors.
+    When those eigenvalues are well separated, block power iteration
+    converges to the same span quickly, avoiding the TPU's slow small-matrix
+    eigendecomposition.  CAVEAT: when the trailing kept modes sit in a
+    quasi-degenerate noise floor, the "top-n span" is ill-conditioned and
+    this approximation differs from exact eigh at the degenerate-mode
+    amplitude — use ``pca_filter`` when exactness matters.
+    """
+    shape = field.shape
+    d = field.reshape((-1, shape[-1])).T
+    npix = d.shape[1]
+    d_mean = jnp.mean(d, axis=-1, keepdims=True)
+    x = d - d_mean
+    cov = (x @ x.T) / (npix - 1)
+
+    Q, _ = jnp.linalg.qr(cov[:, :nmodes])
+
+    def body(_, Q):
+        # Orthonormalise via QR each step: with a large eigengap the columns
+        # collapse toward the top eigenvector after one multiply, so a
+        # Cholesky-of-Gram orthonormalisation goes singular.
+        Y = cov @ Q
+        Qn, _ = jnp.linalg.qr(Y)
+        return Qn
+
+    Q = jax.lax.fori_loop(0, iters, body, Q)
+
+    fg_amps = Q.T @ x
+    fg_field = (Q @ fg_amps + d_mean).T.reshape(shape)
+    return field - fg_field

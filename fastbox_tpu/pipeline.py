@@ -70,6 +70,9 @@ class PipelineConfig:
     kpar_min: float | None = None      # foreground-avoidance high-pass (1/Mpc)
     # Cleaning + estimation
     pca_nmodes: int = 4
+    pca_exact: bool = True    # exact eigh (default) vs subspace iteration
+                              # (approximate when trailing modes are
+                              # degenerate — opt in knowingly)
     nbins: int = 20
     include_foregrounds: bool = True
     include_noise: bool = True
@@ -244,8 +247,14 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
             data = jnp.fft.irfft(dkz * T[None, None, :], n=grid.N,
                                  axis=2).astype(dtype)
 
-        # (8) PCA clean
-        cleaned = pca_filter(data, config.pca_nmodes)
+        # (8) PCA clean (subspace iteration by default: the TPU's small
+        # eigh is slow and only the top-mode span matters)
+        if config.pca_exact:
+            cleaned = pca_filter(data, config.pca_nmodes)
+        else:
+            from .filters.pca import pca_filter_subspace
+
+            cleaned = pca_filter_subspace(data, config.pca_nmodes)
 
         # (9) binned P(k) of the cleaned cube and the underlying density
         # (half-spectrum reductions, multiplicity-weighted: exactly the

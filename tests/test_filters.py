@@ -34,6 +34,23 @@ def test_pca_return_filter(rng):
     assert np.allclose(np.asarray(U.T @ U), np.eye(2), atol=1e-10)
 
 
+def test_pca_subspace_approximates_eigh(rng):
+    # The FG here is ~rank-2, so mode 3 is quasi-degenerate with the noise
+    # floor: the subspace variant agrees with exact eigh to the degenerate-
+    # mode amplitude (documented approximation), not to machine precision.
+    cube = _mock_cube(rng)
+    exact = np.asarray(filters.pca_filter(jnp.asarray(cube), nmodes=3))
+    sub = np.asarray(filters.pca_filter_subspace(jnp.asarray(cube), nmodes=3,
+                                                 iters=32))
+    rms = np.sqrt(np.mean(cube**2))
+    assert np.abs(sub - exact).max() < 1e-2 * rms
+    # With a clean rank split (2 dominant modes), agreement is tight
+    exact2 = np.asarray(filters.pca_filter(jnp.asarray(cube), nmodes=2))
+    sub2 = np.asarray(filters.pca_filter_subspace(jnp.asarray(cube), nmodes=2,
+                                                  iters=32))
+    assert np.abs(sub2 - exact2).max() < 1e-6 * rms
+
+
 def test_mean_spectrum_filter(rng):
     cube = _mock_cube(rng)
     out = np.asarray(filters.mean_spectrum_filter(jnp.asarray(cube)))
