@@ -87,6 +87,37 @@ def test_ensemble_pipeline(cosmo_z08):
     assert not np.allclose(np.nan_to_num(pk[0]), np.nan_to_num(pk[1]))
 
 
+def test_pipeline_density_spectrum_matches_theory(cosmo_z08):
+    """pk_density from the pipeline tracks the input nonlinear P(k)."""
+    grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=32, redshift=0.8)
+    fn = make_pipeline(grid, cosmo_z08,
+                       PipelineConfig(dtype="float64", sigma_nl=0.0))
+    pks = []
+    for seed in range(5):
+        out = fn(jax.random.PRNGKey(seed))
+        pks.append(np.asarray(out["pk_density"]))
+    k = np.asarray(out["k"])
+    mean = np.nanmean(pks, axis=0)
+    th = np.asarray(cosmo_z08.pk_nl(k))
+    sel = np.isfinite(mean) & (k > 2 * grid.kmin) & (k < 0.3 * grid.kmax)
+    ratio = mean[sel] / th[sel]
+    assert np.all(ratio > 0.6) and np.all(ratio < 1.6), ratio
+
+
+def test_sharded_config_variants(cosmo_z08):
+    from fastbox_tpu.parallel import make_mesh, make_sharded_ensemble_step
+
+    grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=16, redshift=0.8)
+    mesh = make_mesh(8, space=4, grid_n=16)
+    cfg = PipelineConfig(dtype="float64", nbins=8, include_foregrounds=False,
+                         include_noise=False, sigma_nl=150.0)
+    step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, cfg)
+    out = step(jax.random.split(jax.random.PRNGKey(7), 2))
+    pk = np.asarray(out["pk_cleaned"])
+    assert pk.shape[0] == 2
+    assert np.isfinite(pk).sum() >= 6
+
+
 def test_ensemble_pipeline_sharded(cosmo_z08):
     from fastbox_tpu.parallel import make_mesh
 
