@@ -16,7 +16,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pfft3_local", "pifft3_local", "pfft2_local", "pifft2_local"]
+__all__ = [
+    "pfft3_local", "pifft3_local", "pfft2_local", "pifft2_local",
+    "prfft3_local", "pirfft3_local",
+]
 
 
 def pfft3_local(x, axis_name: str):
@@ -34,6 +37,35 @@ def pifft3_local(x, axis_name: str):
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
     x = jnp.fft.ifft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+
+def prfft3_local(x, axis_name: str):
+    """Real-input forward 3D FFT of a batched row-slab.
+
+    (B, N/P, N, N) real -> (B, N/P, N, N//2+1) complex half-spectrum over
+    the *local* z (LOS) axis.  Because the half axis is never sharded, both
+    all-to-all transposes move half the bytes of the full-spectrum
+    ``pfft3_local`` — the rfft treatment the single-chip pipeline already
+    uses, extended to the slab decomposition.
+    """
+    x = jnp.fft.rfft(x, axis=3)
+    x = jnp.fft.fft(x, axis=2)
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.fft(x, axis=1)
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+
+def pirfft3_local(x, n: int, axis_name: str):
+    """Inverse of :func:`prfft3_local`.
+
+    (B, N/P, N, N//2+1) complex -> (B, N/P, N, n) real, with ``n`` the full
+    z-axis length (required because N//2+1 is ambiguous in parity).
+    """
+    x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.fft.ifft(x, axis=1)
+    x = lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    x = jnp.fft.ifft(x, axis=2)
+    return jnp.fft.irfft(x, n=n, axis=3)
 
 
 def pfft2_local(x, axis_name: str):

@@ -28,11 +28,11 @@ from ..cosmology import Cosmology
 from ..grid import GridSpec
 from ..models import noise as noise_mod
 from ..models.foregrounds import _scipy_gaussian_kernel1d
-from ..ops.reduce import binned_sum_sumsq_count
+from ..ops.reduce import binned_weighted_sum_sumsq_count
 from ..ops.rsd import remap_los_batched
 from ..ops.spectra import default_kbins
 from ..pipeline import PipelineConfig, _hi_bias, _hi_tb
-from .fft import pfft2_local, pfft3_local, pifft2_local, pifft3_local
+from .fft import pfft2_local, pifft2_local, pirfft3_local, prfft3_local
 
 __all__ = ["make_sharded_ensemble_step"]
 
@@ -60,12 +60,23 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                * cosmology.scale_factor)
     pk_fn = cosmology.pk_lin if config.linear_pk else cosmology.pk_nl
 
-    # Host-side constants (replicated into the SPMD program)
+    # Host-side constants (replicated into the SPMD program).  All spectral
+    # work runs on the rfft half-spectrum over the (unsharded) z axis: half
+    # the FFT flops and half the all-to-all bytes of the full grid.
+    H = N // 2 + 1
     kx_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lx)
     ky_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Ly)
-    kz_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lz)
-    nyq_z = np.asarray(grid.fft_index == grid.fft_index.min()) if N % 2 == 0 \
-        else np.zeros(N, dtype=bool)
+    kz_half = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lz)[:H].copy()
+    if N % 2 == 0:
+        kz_half[-1] = -kz_half[-1]  # Nyquist plane carries the negative freq
+    nyq_z = np.zeros(H, dtype=bool)
+    if N % 2 == 0:
+        nyq_z[-1] = True
+    # Mode multiplicity along the half axis (interior modes count twice)
+    kz_weight = np.full(H, 2.0)
+    kz_weight[0] = 1.0
+    if N % 2 == 0:
+        kz_weight[-1] = 1.0
     zgrid = np.asarray(grid.z)
 
     freqs = grid.freq_array(cosmology)
@@ -96,21 +107,25 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
 
         kx_loc = lax.dynamic_slice_in_dim(jnp.asarray(kx_full, dtype), s * Np, Np)
         ky = jnp.asarray(ky_full, dtype)
-        kz = jnp.asarray(kz_full, dtype)
+        kzh = jnp.asarray(kz_half, dtype)
         k2_loc = (kx_loc[:, None, None] ** 2 + ky[None, :, None] ** 2
-                  + kz[None, None, :] ** 2)
+                  + kzh[None, None, :] ** 2)          # (Np, N, H)
         kmag_loc = jnp.sqrt(k2_loc)
 
         # --- (1) Gaussian realisation --------------------------------
+        # Real white noise rfft'd to a Hermitian half-spectrum: one half-FFT
+        # replaces the full ifft+fft round trip, with identical statistics
+        # to the reference's complex draw + .real projection (box.py:174-193).
         def draw_white(key):
-            k1, k2 = jax.random.split(jax.random.fold_in(key, s))
-            return (jax.random.normal(k1, (Np, N, N), dtype)
-                    + 1j * jax.random.normal(k2, (Np, N, N), dtype))
+            k1 = jax.random.fold_in(key, s)
+            return jax.random.normal(k1, (Np, N, N), dtype)
 
-        white = jax.vmap(draw_white)(keys_local)  # (B, Np, N, N) complex
+        white = jax.vmap(draw_white)(keys_local)      # (B, Np, N, N) real
+        white_h = prfft3_local(white, "space") \
+            * dtype.type(N ** -1.5)                    # unit-variance Hermitian
         amp = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_loc)) * dtype.type(boxfactor))
-        delta_x = pifft3_local(white * amp[None], "space").real.astype(dtype)
-        delta_k = pfft3_local(delta_x.astype(cdtype), "space")
+        delta_k = white_h * amp[None]                  # (B, Np, N, H)
+        delta_x = pirfft3_local(delta_k, N, "space").astype(dtype)
 
         # --- (2) bias + lognormal (global mean over the cube) --------
         e = jnp.exp(delta_x * dtype.type(bias))
@@ -119,9 +134,9 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
 
         # --- (3) LOS velocity ----------------------------------------
         inv_k2 = jnp.where(k2_loc > 0, 1.0 / jnp.where(k2_loc > 0, k2_loc, 1.0), 0.0)
-        vz_k = (1j * dtype.type(vel_fac)) * delta_k * (kz[None, None, :] * inv_k2)
+        vz_k = (1j * dtype.type(vel_fac)) * delta_k * (kzh[None, None, :] * inv_k2)
         vz_k = jnp.where(jnp.asarray(nyq_z)[None, None, None, :], 0.0, vz_k)
-        vel_z = pifft3_local(vz_k, "space").real.astype(dtype)
+        vel_z = pirfft3_local(vz_k, N, "space").astype(dtype)
 
         # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
         vel = vel_z
@@ -196,13 +211,17 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         cleaned = (d2 - fg_fit).reshape(B_loc, Np, N, N)
 
         # --- (8) binned P(k) of the cleaned cube ---------------------
-        ck = pfft3_local(cleaned.astype(cdtype), "space")
+        # Half-spectrum reduction with kz multiplicity weights: exactly the
+        # full-grid mean/stddev convention of box.py:696-768.
+        ck = prfft3_local(cleaned, "space")
         p3 = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
         idx = jnp.searchsorted(jnp.asarray(kbins, dtype), kmag_loc.ravel(),
                                side="right")
+        wgt = jnp.broadcast_to(jnp.asarray(kz_weight, dtype)[None, None, :],
+                               p3.shape[1:]).ravel()
 
         def bin_one(p):
-            return binned_sum_sumsq_count(p.ravel(), idx, nb)
+            return binned_weighted_sum_sumsq_count(p.ravel(), wgt, idx, nb)
 
         sums, sumsqs, counts = jax.vmap(bin_one)(p3)
         sums = lax.psum(sums, "space")

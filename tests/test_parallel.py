@@ -15,6 +15,7 @@ from fastbox_tpu.parallel import (
     pfft3_local,
     pifft3_local,
 )
+from fastbox_tpu.parallel.fft import pirfft3_local, prfft3_local
 from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -47,6 +48,33 @@ def test_pifft3_roundtrip():
     f = shard_map(lambda a: pifft3_local(pfft3_local(a, "space"), "space"),
                   mesh=mesh, in_specs=P(None, "space"),
                   out_specs=P(None, "space"), check_vma=False)
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    assert np.allclose(got, x, rtol=1e-9, atol=1e-9)
+
+
+def test_prfft3_matches_rfftn():
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 16, 16, 16))
+
+    f = shard_map(lambda a: prfft3_local(a, "space"), mesh=mesh,
+                  in_specs=P(None, "space"), out_specs=P(None, "space"),
+                  check_vma=False)
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    want = np.fft.rfftn(x, axes=(1, 2, 3))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pirfft3_roundtrip():
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 16, 16, 16))
+
+    f = shard_map(
+        lambda a: pirfft3_local(prfft3_local(a, "space"), 16, "space"),
+        mesh=mesh, in_specs=P(None, "space"), out_specs=P(None, "space"),
+        check_vma=False)
     got = np.asarray(jax.jit(f)(jnp.asarray(x)))
     assert np.allclose(got, x, rtol=1e-9, atol=1e-9)
 
