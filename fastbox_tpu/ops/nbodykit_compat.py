@@ -77,30 +77,29 @@ class FFTPower:
     """FFT-based P(k) / P(k,mu) / multipole estimator (FFTPower analog).
 
     Parameters follow nbodykit: mode '1d' or '2d', optional ``poles``,
-    linear bins of width ``dk`` from ``kmin``, LOS fixed to the z axis
-    (``los=[0,0,1]``, the only LOS the reference uses).
+    linear bins of width ``dk`` from ``kmin``, and an arbitrary ``los``
+    3-vector (default z axis, the only LOS the reference uses).
     """
 
     def __init__(self, first, mode="1d", Nmu=5, dk=None, kmin=0.0,
                  poles=(), second=None, los=(0, 0, 1)):
         mesh = _as_mesh(first)
-        if tuple(los) != (0, 0, 1):
-            raise NotImplementedError("Only los=[0,0,1] is supported")
+        los = tuple(float(v) for v in los)
         second_f = second.field if isinstance(second, ArrayMesh) else second
 
         self.attrs = {"mode": mode, "dk": dk, "kmin": kmin,
-                      "BoxSize": mesh.BoxSize}
+                      "BoxSize": mesh.BoxSize, "los": los}
         if poles:
             res = spectra.power_multipoles(mesh.grid, mesh.field,
                                            second=second_f,
                                            poles=tuple(poles), dk=dk,
-                                           kmin=kmin)
+                                           kmin=kmin, los=los)
             self.poles = _Result({k: np.asarray(v) for k, v in res.items()})
         else:
             self.poles = None
         nmu = Nmu if mode == "2d" else 1
         res = spectra.power_spectrum(mesh.grid, mesh.field, second=second_f,
-                                     dk=dk, kmin=kmin, nmu=nmu)
+                                     dk=dk, kmin=kmin, nmu=nmu, los=los)
         self.power = _Result({k: np.asarray(v) for k, v in res.items()})
 
 
@@ -110,16 +109,17 @@ class FFTCorr:
     def __init__(self, first, mode="1d", dr=2.0, rmin=0.0, rmax=None,
                  poles=(), second=None, los=(0, 0, 1)):
         mesh = _as_mesh(first)
-        if tuple(los) != (0, 0, 1):
-            raise NotImplementedError("Only los=[0,0,1] is supported")
+        los = tuple(float(v) for v in los)
         second_f = second.field if isinstance(second, ArrayMesh) else second
 
-        self.attrs = {"mode": mode, "dr": dr, "BoxSize": mesh.BoxSize}
+        self.attrs = {"mode": mode, "dr": dr, "BoxSize": mesh.BoxSize,
+                      "los": los}
         if poles:
             res = spectra.correlation_multipoles(mesh.grid, mesh.field,
                                                  second=second_f,
                                                  poles=tuple(poles), dr=dr,
-                                                 rmin=rmin, rmax=rmax)
+                                                 rmin=rmin, rmax=rmax,
+                                                 los=los)
             self.poles = _Result({k: np.asarray(v) for k, v in res.items()})
         else:
             self.poles = None

@@ -117,8 +117,28 @@ def _linear_kbins(grid: GridSpec, dk=None, kmin=0.0, kmax=None):
     return edges
 
 
+def _norm_los(los) -> tuple[float, float, float]:
+    """Normalize a static 3-vector line of sight (nbodykit accepts any)."""
+    lx, ly, lz = (float(v) for v in los)
+    n = (lx * lx + ly * ly + lz * lz) ** 0.5
+    if n == 0.0:
+        raise ValueError("los must be a nonzero 3-vector")
+    return (lx / n, ly / n, lz / n)
+
+
+def _mu_k(grid: GridSpec, rdtype, los) -> jnp.ndarray:
+    """mu = (k . los)/|k| on the flattened full k grid (0 at k=0)."""
+    lx, ly, lz = _norm_los(los)
+    kx, ky, kz = grid.kvec(rdtype)
+    kdotl = (kx[:, None, None] * rdtype.type(lx)
+             + ky[None, :, None] * rdtype.type(ly)
+             + kz[None, None, :] * rdtype.type(lz)).ravel()
+    kmag = grid.kmag(rdtype).ravel()
+    return jnp.where(kmag > 0.0, kdotl / jnp.where(kmag > 0, kmag, 1.0), 0.0)
+
+
 @partial(jax.jit, static_argnames=("grid", "dk", "kmin", "kmax", "nmu",
-                                   "exclude_zero"))
+                                   "exclude_zero", "los"))
 def power_spectrum(
     grid: GridSpec,
     delta_x,
@@ -128,6 +148,7 @@ def power_spectrum(
     kmax: float | None = None,
     nmu: int = 1,
     exclude_zero: bool = True,
+    los: tuple = (0, 0, 1),
 ):
     """Mode-averaged P(k) or P(k, mu) on linear k bins (FFTPower 1d/2d analog).
 
@@ -136,8 +157,11 @@ def power_spectrum(
         second: optional second field for a cross-spectrum.
         dk, kmin, kmax: linear k-bin edges (defaults: twice the fundamental
             frequency up to the Nyquist scale, like nbodykit).
-        nmu: number of |mu| bins on [0, 1] (mu = k_par/|k|, LOS = z axis).
+        nmu: number of |mu| bins on [0, 1] (mu = (k . los)/|k|).
         exclude_zero: drop the k=0 mode from the average.
+        los: static line-of-sight 3-vector (any direction; nbodykit's
+            ``los`` argument — the reference examples only ever use
+            [0, 0, 1], which remains the default).
 
     Returns:
         dict with 'k' (mean k per bin), 'mu' (mean |mu|), 'power', 'modes';
@@ -154,8 +178,7 @@ def power_spectrum(
         kidx = jnp.where(kmag == 0.0, nk, kidx)
 
     if nmu > 1:
-        _, k_par = grid.kperp_kpar(rdtype)
-        mu = jnp.where(kmag > 0.0, jnp.abs(k_par.ravel()) / jnp.where(kmag > 0, kmag, 1.0), 0.0)
+        mu = jnp.abs(_mu_k(grid, jnp.dtype(rdtype), los))
         muidx = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
         flat_idx = jnp.where(kidx >= nk, nk * nmu, kidx * nmu + muidx)
         ntot = nk * nmu
@@ -198,7 +221,8 @@ def _legendre(ell: int, mu):
     raise NotImplementedError(f"Legendre ell={ell} not implemented")
 
 
-@partial(jax.jit, static_argnames=("grid", "poles", "dk", "kmin", "kmax"))
+@partial(jax.jit, static_argnames=("grid", "poles", "dk", "kmin", "kmax",
+                                   "los"))
 def power_multipoles(
     grid: GridSpec,
     delta_x,
@@ -207,18 +231,19 @@ def power_multipoles(
     dk: float | None = None,
     kmin: float = 0.0,
     kmax: float | None = None,
+    los: tuple = (0, 0, 1),
 ):
     """Power-spectrum multipoles P_l(k) = (2l+1) <P(k) L_l(mu)> per k bin.
 
-    LOS is the z axis ([0, 0, 1], as used in every reference example).
+    ``los`` is any static 3-vector (default the z axis, [0, 0, 1] — the
+    only direction the reference examples ever use).
     """
     p3d, rdtype = _power_3d(grid, delta_x, second)
     edges = _linear_kbins(grid, dk, kmin, kmax)
     nk = edges.size - 1
 
     kmag = grid.kmag(rdtype).ravel()
-    _, k_par = grid.kperp_kpar(rdtype)
-    mu = jnp.where(kmag > 0.0, k_par.ravel() / jnp.where(kmag > 0, kmag, 1.0), 0.0)
+    mu = _mu_k(grid, jnp.dtype(rdtype), los)
 
     kidx = jnp.searchsorted(jnp.asarray(edges, rdtype), kmag, side="right") - 1
     kidx = jnp.where((kidx < 0) | (kidx >= nk) | (kmag == 0.0), nk, kidx)
@@ -285,7 +310,8 @@ def correlation_function(
     }
 
 
-@partial(jax.jit, static_argnames=("grid", "poles", "dr", "rmin", "rmax"))
+@partial(jax.jit, static_argnames=("grid", "poles", "dr", "rmin", "rmax",
+                                   "los"))
 def correlation_multipoles(
     grid: GridSpec,
     delta_x,
@@ -294,8 +320,10 @@ def correlation_multipoles(
     dr: float = 2.0,
     rmin: float = 0.0,
     rmax: float | None = None,
+    los: tuple = (0, 0, 1),
 ):
-    """Correlation-function multipoles xi_l(r), LOS = z axis."""
+    """Correlation-function multipoles xi_l(r) along a static ``los`` vector
+    (default z axis, matching every reference example)."""
     d1k = jnp.fft.fftn(delta_x)
     d2k = d1k if second is None else jnp.fft.fftn(second)
     rdtype = jnp.real(delta_x).dtype
@@ -306,14 +334,17 @@ def correlation_multipoles(
     edges = np.arange(rmin, rmax + dr, dr, dtype=np.float64)
     nr = edges.size - 1
 
-    rmag, rz = _rgrid(grid, rdtype)
+    lx, ly, lz = _norm_los(los)
+    nx = np.fft.fftfreq(grid.N, 1.0) * grid.N
+    rx = jnp.asarray(nx * (grid.Lx / grid.N), rdtype)
+    ry = jnp.asarray(nx * (grid.Ly / grid.N), rdtype)
+    rz1 = jnp.asarray(nx * (grid.Lz / grid.N), rdtype)
+    rmag, _ = _rgrid(grid, rdtype)
     rflat = rmag.ravel()
-    mu = jnp.where(
-        rflat > 0.0,
-        jnp.broadcast_to(rz[None, None, :], grid.shape).ravel()
-        / jnp.where(rflat > 0, rflat, 1.0),
-        0.0,
-    )
+    rdotl = (rx[:, None, None] * rdtype.type(lx)
+             + ry[None, :, None] * rdtype.type(ly)
+             + rz1[None, None, :] * rdtype.type(lz)).ravel()
+    mu = jnp.where(rflat > 0.0, rdotl / jnp.where(rflat > 0, rflat, 1.0), 0.0)
     ridx = jnp.searchsorted(jnp.asarray(edges, rdtype), rflat, side="right") - 1
     ridx = jnp.where((ridx < 0) | (ridx >= nr), nr, ridx)
 

@@ -51,7 +51,16 @@ def test_catalog_to_mesh(rng):
     assert np.isfinite(r.power["power"]).sum() > 3
 
 
-def test_unsupported_los(cosmo_z0):
-    mesh = ArrayMesh(_field(cosmo_z0), BoxSize=1e3)
-    with pytest.raises(NotImplementedError):
-        FFTPower(mesh, los=(1, 0, 0))
+def test_arbitrary_los(cosmo_z0):
+    """los is any 3-vector; x-LOS on the transposed field == z-LOS."""
+    import numpy as np
+
+    field = _field(cosmo_z0)
+    mesh_z = ArrayMesh(field, BoxSize=1e3)
+    mesh_x = ArrayMesh(field.transpose(2, 1, 0), BoxSize=1e3)
+    pz = FFTPower(mesh_z, poles=(0, 2), los=(0, 0, 1)).poles
+    px = FFTPower(mesh_x, poles=(0, 2), los=(2, 0, 0)).poles  # unnormalized ok
+    for name in ("power_0", "power_2"):
+        a, b = pz[name], px[name]
+        sel = np.isfinite(a) & np.isfinite(b)
+        assert np.allclose(a[sel], b[sel], rtol=1e-10)

@@ -109,3 +109,45 @@ def test_correlation_multipoles_runs(cosmo_z0):
     res = spectra.correlation_multipoles(GRID, dx, dr=10.0)
     assert "corr_0" in res and "corr_2" in res and "corr_4" in res
     assert np.asarray(res["corr_0"]).shape == np.asarray(res["r"]).shape
+
+
+def test_multipoles_arbitrary_los_matches_transposed_field(cosmo_z0):
+    """P_l along los=x of a field == P_l along los=z of the field with its
+    x and z axes swapped (cubic box)."""
+    dx, _ = _field(cosmo_z0, seed=5)
+    # Make the field anisotropic along z so the quadrupole is nonzero
+    aniso = dx * (1.0 + 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(N)[None, None, :] / N))
+    res_z = spectra.power_multipoles(GRID, aniso, los=(0, 0, 1))
+    res_x = spectra.power_multipoles(GRID, jnp.transpose(aniso, (2, 1, 0)),
+                                     los=(1, 0, 0))
+    for ell in (0, 2, 4):
+        a = np.asarray(res_z[f"power_{ell}"])
+        b = np.asarray(res_x[f"power_{ell}"])
+        sel = np.isfinite(a) & np.isfinite(b)
+        assert np.allclose(a[sel], b[sel], rtol=1e-10)
+
+
+def test_pkmu_arbitrary_los(cosmo_z0):
+    dx, _ = _field(cosmo_z0, seed=6)
+    res_z = spectra.power_spectrum(GRID, dx, nmu=4, los=(0, 0, 1))
+    res_y = spectra.power_spectrum(GRID, jnp.transpose(dx, (0, 2, 1)),
+                                   nmu=4, los=(0, 1, 0))
+    a, b = np.asarray(res_z["power"]), np.asarray(res_y["power"])
+    sel = np.isfinite(a) & np.isfinite(b)
+    assert np.allclose(a[sel], b[sel], rtol=1e-10)
+
+
+def test_correlation_multipoles_arbitrary_los(cosmo_z0):
+    dx, _ = _field(cosmo_z0, seed=7)
+    aniso = dx * (1.0 + 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(N)[None, None, :] / N))
+    res_z = spectra.correlation_multipoles(GRID, aniso, dr=10.0,
+                                           los=(0, 0, 1))
+    res_x = spectra.correlation_multipoles(
+        GRID, jnp.transpose(aniso, (2, 1, 0)), dr=10.0, los=(1, 0, 0))
+    for ell in (0, 2, 4):
+        a = np.asarray(res_z[f"corr_{ell}"])
+        b = np.asarray(res_x[f"corr_{ell}"])
+        sel = np.isfinite(a) & np.isfinite(b)
+        assert np.allclose(a[sel], b[sel], rtol=1e-9)
