@@ -45,15 +45,17 @@ class ArrayCatalog:
         self.data = {k: jnp.asarray(v) for k, v in data.items()}
 
     def to_mesh(self, Nmesh, BoxSize, window="tsc", compensated=True,
-                position="Position"):
+                interlaced=False, position="Position"):
         """Paint onto a mesh with the given assignment window; returns an
-        ArrayMesh of the (optionally compensated) overdensity."""
+        ArrayMesh of the (optionally compensated, optionally interlaced)
+        overdensity."""
         if np.isscalar(BoxSize):
             BoxSize = (float(BoxSize),) * 3
         grid = GridSpec(N=int(Nmesh), Lx=BoxSize[0], Ly=BoxSize[1],
                         Lz=BoxSize[2])
         delta = painting.overdensity_from_catalogue(
-            self.data[position], grid, window=window, compensated=compensated)
+            self.data[position], grid, window=window, compensated=compensated,
+            interlaced=bool(interlaced))
         return ArrayMesh(delta, BoxSize)
 
 

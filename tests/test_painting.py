@@ -95,3 +95,33 @@ def test_compensation_flattens_shotnoise_spectrum(rng):
     assert sel.sum() >= 3
     assert np.all(np.abs(pc[sel] / shot - 1.0) < 0.15)
     assert np.all(pr[sel] / shot < 0.75)
+
+
+def test_interlacing_suppresses_aliasing(rng):
+    """Compensated P(k) of an unclustered (uniform) catalogue should be flat
+    shot noise; interlacing must reduce the high-k aliasing bias."""
+    npart = 40000
+    pos = jnp.asarray(rng.uniform(0.0, 1e2, size=(npart, 3)))
+    pshot = GRID.volume / npart
+
+    def highk_bias(interlaced):
+        delta = painting.overdensity_from_catalogue(
+            pos, GRID, window="cic", compensated=True, interlaced=interlaced)
+        res = power_spectrum(GRID, delta)
+        p = np.asarray(res["power"])
+        p = p[np.isfinite(p)]
+        # last finite bin sits at the Nyquist scale where aliasing peaks
+        return abs(p[-1] / pshot - 1.0)
+
+    plain = highk_bias(False)
+    inter = highk_bias(True)
+    assert inter < 0.5 * plain
+    assert inter < 0.15
+
+
+def test_interlaced_mesh_mean_zero(rng):
+    pos = jnp.asarray(rng.uniform(0.0, 1e2, size=(5000, 3)))
+    delta = painting.overdensity_from_catalogue(
+        pos, GRID, window="tsc", compensated=True, interlaced=True)
+    assert abs(float(jnp.mean(delta))) < 1e-8
+    assert np.all(np.isfinite(np.asarray(delta)))
