@@ -106,12 +106,17 @@ def _kick_drift_integrals(params, a1, a2):
 # ----------------------------------------------------------------------
 def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          redshift_init: float = 15.0, n_steps: int | None = None,
-                         dtype=jnp.float32, keep_velocities: bool = True):
+                         dtype=jnp.float32, keep_velocities: bool = True,
+                         force_factor: int = 1):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
     Parameters mirror the reference's ``realise_density_cola``
     (box.py:463-534): ``redshift_init`` is the starting redshift,
     ``n_steps`` defaults to ``int(1 + z_init)`` as in the pycola3 driver.
+    ``force_factor`` (the pycola3 ``gridscale`` analog) computes PM forces
+    on a mesh of ``force_factor * N`` cells per side: 2-3x sharpens
+    small-scale growth near the particle Nyquist at 8-27x the force-mesh
+    memory; 1 (default) matches the particle grid.
 
     Returns:
         (delta_x, vel) where delta_x is the CIC density contrast on the grid
@@ -176,23 +181,43 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
         x = q + dtype.type(d1_init) * p1 + dtype.type(d2_init) * p2
         v = jnp.zeros_like(x)  # residual momentum
 
+        Nf = N * int(force_factor)
+        cell_f = grid.Lx / Nf
+        kf = 2.0 * np.pi * np.fft.fftfreq(Nf, d=1.0 / Nf) / grid.Lx
+        kxf = jnp.asarray(kf, dtype)
+        k2f = (kxf[:, None, None] ** 2 + kxf[None, :, None] ** 2
+               + kxf[None, None, :] ** 2)
+        mean_per_cell = dtype.type(N**3 / Nf**3)
+        if force_factor > 1:
+            # Keep only modes that exist on the particle grid: beyond the
+            # particle Nyquist the painted density is pure discreteness
+            # (lattice harmonics) whose forces random-walk the particles.
+            # With the cut, the finer mesh's whole benefit is its narrower
+            # CIC window — sharper small-scale growth (validated against
+            # the analytic 2LPT force: residual halves at force_factor=2).
+            k_ny = np.pi * N / grid.Lx
+            m1 = jnp.asarray(np.abs(kf) <= k_ny * (1 + 1e-12))
+            kcut = (m1[:, None, None] & m1[None, :, None] & m1[None, None, :])
+        else:
+            kcut = None
+
         def pm_force(x, a):
-            u = x / cell
-            rho = cic_paint_particles(u, N)
-            delta = rho - 1.0  # mean is exactly 1 particle/cell
+            u = x / cell_f
+            rho = cic_paint_particles(u, Nf)
+            delta = rho / mean_per_cell - 1.0
             dk = jnp.fft.fftn(delta)
-            kx, ky, kz = grid.kvec(dtype)
-            k2 = grid.k2(dtype)
-            inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            if kcut is not None:
+                dk = dk * kcut
+            inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
             c = dtype.type(fac_pm) / a
             # Note: no window deconvolution in the force — W^-2 diverges at
             # the mesh corners and pumps aliasing noise into the particles.
             # Growth is therefore mildly suppressed approaching the particle
-            # Nyquist; use a finer force mesh when that regime matters.
+            # Nyquist; pass force_factor >= 2 when that regime matters.
             base = (1j * c) * dk * inv_k2
-            Fx = jnp.fft.ifftn(base * kx[:, None, None]).real
-            Fy = jnp.fft.ifftn(base * ky[None, :, None]).real
-            Fz = jnp.fft.ifftn(base * kz[None, None, :]).real
+            Fx = jnp.fft.ifftn(base * kxf[:, None, None]).real
+            Fy = jnp.fft.ifftn(base * kxf[None, :, None]).real
+            Fz = jnp.fft.ifftn(base * kxf[None, None, :]).real
             return jnp.stack([
                 cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
             ], axis=-1)

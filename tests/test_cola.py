@@ -87,3 +87,70 @@ def test_cola_recovers_linear_growth():
     assert np.all(np.isfinite(vel))
     rms = vel.std()
     assert 30.0 < rms < 1500.0, rms
+
+
+def test_cola_finer_force_mesh_force_accuracy():
+    """The PM force on a force_factor=2 mesh (with the particle-Nyquist mode
+    cut) must be closer to the analytic 2LPT acceleration than the matched
+    mesh — the claim behind the force_factor option.  Also evolve a few
+    steps to check stability (no discreteness-driven blow-up)."""
+    import numpy as np
+    from fastbox_tpu.cosmology import background as bg
+    from fastbox_tpu.fields.gaussian import white_noise, gaussian_field_from_whitenoise
+
+    cosmo = build_cosmology(dict(Omega_c=0.25, Omega_b=0.05, h=0.7,
+                                 n_s=0.95, sigma8=0.8), redshift=0.0)
+    grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=16, redshift=0.0)
+    params = cosmo.params
+    N = grid.N
+    cell = grid.Lx / N
+    fac_pm = 1.5 * params.Omega_m * (100.0 * params.h) ** 2
+    a = 0.1
+
+    w = white_noise(jax.random.PRNGKey(3), grid, jnp.float64)
+    _, dk0 = gaussian_field_from_whitenoise(w, grid, cosmo.pk_lin_z0)
+    psi1, psi2 = lpt.lpt_displacements(dk0, grid)
+    a_tab, D_tab, _ = bg.growth_tables(params)
+    D1 = float(np.interp(np.log(a), np.log(a_tab), D_tab))
+    D2 = float(lpt.second_order_growth(D1, bg.omega_m_of_a(params, a)))
+    q = (jnp.stack(jnp.meshgrid(*(jnp.arange(N, dtype=jnp.float64),) * 3,
+                                indexing="ij"), axis=-1).reshape(-1, 3) * cell)
+    p1 = psi1.reshape(3, -1).T
+    p2 = psi2.reshape(3, -1).T
+    x = q + D1 * p1 + D2 * p2
+    comp = (fac_pm / a) * (D1 * p1 + (D2 - D1**2) * p2)
+
+    def pm_force(x, ff):
+        Nf = N * ff
+        kf = 2.0 * np.pi * np.fft.fftfreq(Nf, d=1.0 / Nf) / grid.Lx
+        kxf = jnp.asarray(kf)
+        k2f = (kxf[:, None, None] ** 2 + kxf[None, :, None] ** 2
+               + kxf[None, None, :] ** 2)
+        u = x / (grid.Lx / Nf)
+        rho = cic_paint_particles(u, Nf)
+        dk = jnp.fft.fftn(rho / (N**3 / Nf**3) - 1.0)
+        if ff > 1:
+            m = jnp.asarray(np.abs(kf) <= np.pi * N / grid.Lx * (1 + 1e-12))
+            dk = dk * (m[:, None, None] & m[None, :, None] & m[None, None, :])
+        inv = jnp.where(k2f > 0, 1.0 / jnp.where(k2f > 0, k2f, 1.0), 0.0)
+        base = (1j * fac_pm / a) * dk * inv
+        F = [jnp.fft.ifftn(base * kk).real
+             for kk in (kxf[:, None, None], kxf[None, :, None],
+                        kxf[None, None, :])]
+        return jnp.stack([cic_gather(Fi, u) for Fi in F], axis=-1)
+
+    resid1 = float(jnp.std(pm_force(x, 1) - comp))
+    resid2 = float(jnp.std(pm_force(x, 2) - comp))
+    assert resid2 < 0.6 * resid1, (resid1, resid2)
+
+    # Stability: a short evolution must stay bounded (the uncut fine mesh
+    # random-walks particles into a shot-noise field with ~2.5x the std)
+    d1, _ = realise_density_cola(jax.random.PRNGKey(3), grid, cosmo,
+                                 redshift_init=9.0, n_steps=5,
+                                 dtype=jnp.float64, keep_velocities=False)
+    d2, _ = realise_density_cola(jax.random.PRNGKey(3), grid, cosmo,
+                                 redshift_init=9.0, n_steps=5,
+                                 dtype=jnp.float64, keep_velocities=False,
+                                 force_factor=2)
+    assert np.all(np.isfinite(np.asarray(d2)))
+    assert float(jnp.std(d2)) < 1.8 * float(jnp.std(d1))
