@@ -153,6 +153,7 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         delta_s = remap_los_batched(
             delta_ln.reshape(-1, N), svals.reshape(-1, N),
             jnp.asarray(zgrid, dtype), fill.reshape(-1), method="linear",
+            ztarget_np=zgrid,
         ).reshape(delta_ln.shape)
 
         data = dtype.type(Tb) * (1.0 + delta_s)

@@ -56,3 +56,37 @@ def test_rsd_sigma_nl_valid(cosmo_z0):
     out = np.asarray(out)
     assert out.shape == (N, N, N)
     assert np.all(np.isfinite(out))
+
+
+def test_rsd_banded_fallback_extreme_velocities(cosmo_z0):
+    """Velocities displacing material far beyond the banded window must
+    trigger the exact full fallback and still match scipy griddata."""
+    dx, vz, Hz = _setup(cosmo_z0)
+    vz = vz * 40.0  # displacements of many cells -> maxdisp > band * dz
+    out_j = redshift_space_density(jnp.asarray(dx), jnp.asarray(vz), GRID, Hz,
+                                   method="linear")
+    out_o = oracle.redshift_space_density(dx, vz, np.asarray(GRID.z), Hz,
+                                          method="linear")
+    assert np.allclose(np.asarray(out_j), out_o, rtol=1e-9, atol=1e-11)
+
+
+def test_banded_interp_equals_full_telescoping(rng):
+    """The banded O(w) path must equal the O(C) telescoping sum exactly
+    whenever the displacement bound holds."""
+    from jax import lax
+    from fastbox_tpu.ops.rsd import _interp_sorted_banded, remap_los_batched
+
+    M, C, w = 32, 24, 3
+    zt = np.linspace(0.0, 23.0, C)
+    dz = zt[1] - zt[0]
+    s = zt[None, :] + rng.uniform(-w * dz * 0.9, w * dz * 0.9, size=(M, C))
+    v = rng.standard_normal((M, C))
+    ss, vv = lax.sort_key_val(jnp.asarray(s), jnp.asarray(v))
+    got = np.asarray(_interp_sorted_banded(ss, vv, jnp.asarray(zt), w))
+
+    dv = np.asarray(vv)[:, 1:] - np.asarray(vv)[:, :-1]
+    ds = np.asarray(ss)[:, 1:] - np.asarray(ss)[:, :-1]
+    frac = (zt[None, None, :] - np.asarray(ss)[:, :-1, None]) / ds[:, :, None]
+    want = np.asarray(vv)[:, :1] + np.sum(dv[:, :, None]
+                                          * np.clip(frac, 0.0, 1.0), axis=1)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
