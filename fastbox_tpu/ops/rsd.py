@@ -152,6 +152,12 @@ def remap_los_batched(vals, s, ztarget, fill, method: str = "linear",
 
         def banded(args):
             ss_, vv_ = args
+            C = ss_.shape[1]
+            if _pallas_ok(ss_.shape[0]) and C % 128 == 0 \
+                    and ss_.shape[0] % min(256, ss_.shape[0]) == 0:
+                from .pallas.banded_interp import banded_interp_pallas
+
+                return banded_interp_pallas(ss_, vv_, ztarget, fill, band)
             return _interp_sorted_banded(ss_, vv_, ztarget, band)
 
         def full(args):

@@ -36,3 +36,48 @@ def test_interp_sorted_pallas_hull_fill(rng):
               (zn[None, :] > np.asarray(ss[:, -1:]))
     assert np.all(out[outside] == 7.5)
     assert np.any(~outside)
+
+
+def test_banded_interp_pallas_matches_jnp(rng):
+    """Interpret-mode kernel vs the jnp banded reference, incl. hull fill."""
+    from jax import lax
+    from fastbox_tpu.ops.pallas.banded_interp import banded_interp_pallas
+    from fastbox_tpu.ops.rsd import _interp_sorted_banded
+
+    M, C, w = 256, 128, 4
+    zt = np.linspace(0.0, 127.0, C)
+    dz = zt[1] - zt[0]
+    s = zt[None, :] + rng.uniform(-w * dz * 0.9, w * dz * 0.9, size=(M, C))
+    v = rng.standard_normal((M, C))
+    fill = rng.standard_normal(M)
+    ss, vv = lax.sort_key_val(jnp.asarray(s), jnp.asarray(v))
+
+    got = np.asarray(banded_interp_pallas(ss, vv, jnp.asarray(zt),
+                                          jnp.asarray(fill), band=w,
+                                          interpret=True))
+    ref = np.asarray(_interp_sorted_banded(ss, vv, jnp.asarray(zt), w))
+    inside = ((zt[None, :] >= np.asarray(ss)[:, :1])
+              & (zt[None, :] <= np.asarray(ss)[:, -1:]))
+    ref = np.where(inside, ref, fill[:, None])
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_banded_interp_pallas_duplicate_nodes():
+    from jax import lax
+    from fastbox_tpu.ops.pallas.banded_interp import banded_interp_pallas
+    from fastbox_tpu.ops.rsd import remap_los_batched
+
+    M, C = 8, 128
+    zt = np.arange(C, dtype=np.float64)
+    s = np.tile(zt, (M, 1))
+    s[:, 10] = s[:, 11]  # duplicate node -> step transition
+    v = np.random.default_rng(0).standard_normal((M, C))
+    fill = np.zeros(M)
+    ss, vv = lax.sort_key_val(jnp.asarray(s), jnp.asarray(v))
+    got = np.asarray(banded_interp_pallas(ss, vv, jnp.asarray(zt),
+                                          jnp.asarray(fill), band=4,
+                                          interpret=True))
+    want = np.asarray(remap_los_batched(jnp.asarray(v), jnp.asarray(s),
+                                        jnp.asarray(zt), jnp.asarray(fill),
+                                        band=0))
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
