@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: fused add-scaled-Gaussian-noise.
+
+``x + scale * N(0,1)`` is two of the pipeline's stages (radiometer noise
+with a per-channel sigma(nu), box.py analog noise.py:73-74; and the RSD
+sigma_NL velocity dispersion, box.py:416-418).  The stock path draws
+threefry bits, converts with erfinv, materialises the normals, and adds —
+three-plus HBM passes.  Here the on-core PRNG (pltpu.prng_random_bits)
+generates bits in VMEM and a Box-Muller transform feeds the add directly:
+HBM traffic is one read of x plus one write of the result.
+
+The normals are exact N(0,1) draws (Box-Muller on 24-bit uniforms), but the
+stream differs from jax.random.normal — statistically equivalent, not
+bit-identical.  Callers that need reproducibility against the threefry
+stream must keep the jnp path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["add_scaled_normal_pallas"]
+
+_BLOCK_R = 256
+_TWO_PI = 6.283185307179586
+
+
+def _box_muller(shape, dtype):
+    """Two independent N(0,1) fields from on-core random bits."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24-bit uniforms in (0, 1]: never 0, so log is finite.  Mosaic has no
+    # uint32 -> float cast; the shifted bits fit in 24 bits, so a bitcast
+    # through int32 is exact.
+    i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+    u1 = i1.astype(dtype) * dtype.type(2.0**-24) + dtype.type(2.0**-25)
+    u2 = i2.astype(dtype) * dtype.type(2.0**-24)
+    r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
+    th = dtype.type(_TWO_PI) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _kernel(seed_ref, x_ref, scale_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    x = x_ref[:]                          # (BR, C)
+    n, _ = _box_muller(x.shape, jnp.dtype(x.dtype))
+    out_ref[:] = x + scale_ref[:] * n     # scale (1, C) broadcasts
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def add_scaled_normal_pallas(x2d, scale_row, seed, interpret: bool = False):
+    """x2d + scale_row[None, :] * N(0,1), fused in VMEM.
+
+    Parameters:
+        x2d: (R, C) real array, R a multiple of 256, C a multiple of 128.
+        scale_row: (C,) per-column scale (pass a constant row for a
+            scalar sigma).
+        seed: int32 scalar (derive from a jax key with jax.random.bits);
+            each row-block reseeds with (seed, block_index).
+
+    Returns:
+        (R, C) array, same dtype as x2d.
+    """
+    R, C = x2d.shape
+    dtype = x2d.dtype
+    br = min(_BLOCK_R, R)
+    assert R % br == 0, f"R={R} must be a multiple of {br}"
+
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // br,),
+            in_specs=[
+                pl.BlockSpec((br, C), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((br, C), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, C), dtype),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x2d,
+      scale_row.astype(dtype).reshape(1, C))

@@ -72,6 +72,43 @@ def binned_sums(values, bin_idx, nbins: int):
     return acc[0]
 
 
+def binned_weighted_dual(values1, values2, weights, bin_idx, nbins: int):
+    """Two fields, one histogram pass: (sum w*v1, sum w*v1^2, sum w*v2,
+    sum w*v2^2, sum w) per bin.
+
+    The pipeline bins the cleaned cube AND the density cube against the
+    same k-bin indices; sharing the one-hot matmul halves the reduction
+    cost versus two `binned_weighted_sum_sumsq_count` calls.
+    """
+    v1 = values1.ravel()
+    v2 = values2.ravel().astype(v1.dtype)
+    w = weights.ravel().astype(v1.dtype)
+    b = bin_idx.ravel().astype(jnp.int32)
+    n = v1.shape[0]
+    chunk = min(_CHUNK, n)
+    pad = (-n) % chunk
+    if pad:
+        v1 = jnp.concatenate([v1, jnp.zeros(pad, v1.dtype)])
+        v2 = jnp.concatenate([v2, jnp.zeros(pad, v1.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, v1.dtype)])
+        b = jnp.concatenate([b, jnp.full(pad, nbins, dtype=b.dtype)])
+    m = v1.shape[0] // chunk
+    v1 = v1.reshape(m, chunk)
+    v2 = v2.reshape(m, chunk)
+    w = w.reshape(m, chunk)
+    b = b.reshape(m, chunk)
+
+    def body(acc, xs):
+        x1, x2, ww, bb = xs
+        onehot = jax.nn.one_hot(bb, nbins + 1, dtype=x1.dtype)
+        stacked = jnp.stack([ww * x1, ww * x1 * x1, ww * x2, ww * x2 * x2, ww])
+        return acc + jnp.dot(stacked, onehot, preferred_element_type=x1.dtype), None
+
+    init = jnp.zeros((5, nbins + 1), v1.dtype)
+    acc, _ = jax.lax.scan(body, init, (v1, v2, w, b))
+    return tuple(acc[i, :nbins] for i in range(5))
+
+
 def binned_weighted_sum_sumsq_count(values, weights, bin_idx, nbins: int):
     """Weighted per-bin (sum w*v, sum w*v^2, sum w) in one pass.
 

@@ -29,11 +29,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..grid import GridSpec
 
-__all__ = ["redshift_space_density", "remap_los_batched"]
+__all__ = ["redshift_space_density", "remap_los_batched", "add_scaled_normal"]
 
 
 def _pallas_ok(M: int) -> bool:
@@ -43,6 +44,29 @@ def _pallas_ok(M: int) -> bool:
     except Exception:
         return False
     return platform in ("tpu", "axon") and M % 128 == 0
+
+
+def add_scaled_normal(x, scale_row, key):
+    """x + scale_row[..broadcast..] * N(0,1) along the last axis.
+
+    Dispatches to the fused Pallas PRNG kernel on TPU (one read + one
+    write of x; the noise never touches HBM), falling back to
+    jax.random.normal elsewhere.  ``scale_row`` is a (C,) per-last-axis
+    scale; the two streams are statistically identical but not
+    bit-identical.
+    """
+    shape = x.shape
+    C = shape[-1]
+    R = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    if _pallas_ok(C) and R % 256 == 0:
+        from .pallas.noise import add_scaled_normal_pallas
+
+        seed = jax.random.bits(key, (), "uint32").astype(jnp.int32)
+        return add_scaled_normal_pallas(
+            x.reshape(R, C), jnp.asarray(scale_row, x.dtype), seed
+        ).reshape(shape)
+    return x + jax.random.normal(key, shape, x.dtype) \
+        * jnp.asarray(scale_row, x.dtype)
 
 
 def _interp_sorted_banded(ss, vv, ztarget, w: int):
@@ -249,7 +273,8 @@ def redshift_space_density(
     if sigma_nl > 0.0:
         if key is None:
             raise ValueError("sigma_nl > 0 requires a PRNG `key`.")
-        vel = vel + sigma_nl * jax.random.normal(key, delta_x.shape, dtype=rdtype)
+        vel = add_scaled_normal(
+            vel, jnp.full(N, sigma_nl, rdtype), key)
 
     # Redshift-space coordinate per voxel, periodically wrapped (box.py:422-426)
     s = z[None, None, :] - vel / jnp.asarray(Hz, rdtype)

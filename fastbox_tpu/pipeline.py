@@ -221,10 +221,9 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
             )
             data = data + fg_cube
 
-        # (7) radiometer noise
+        # (7) radiometer noise (fused PRNG kernel on TPU)
         if config.include_noise:
-            data = data + (jax.random.normal(k_noise, grid.shape, dtype)
-                           * sigma_j[None, None, :])
+            data = rsd_ops.add_scaled_normal(data, sigma_j, k_noise)
 
         # (7b) instrument response (config 3): per-channel Gaussian beam in
         # k_perp, and a k_par foreground-avoidance high-pass
@@ -258,13 +257,22 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
 
         # (9) binned P(k) of the cleaned cube and the underlying density
         # (half-spectrum reductions, multiplicity-weighted: exactly the
-        # full-grid convention of box.py:696-768)
+        # full-grid convention of box.py:696-768; both cubes share one
+        # histogram pass)
+        from .ops.reduce import binned_weighted_dual
+
         boxf = jnp.asarray(grid.boxfactor, dtype)
         ck = jnp.fft.rfftn(cleaned)
-        pk_clean, pk_err = _binned_half((ck * jnp.conj(ck)).real / boxf,
-                                        bin_idx)
-        pk_dens, _ = _binned_half((delta_k * jnp.conj(delta_k)).real / boxf,
-                                  bin_idx)
+        p_clean = (ck * jnp.conj(ck)).real / boxf
+        p_dens = (delta_k * jnp.conj(delta_k)).real / boxf
+        w = jnp.broadcast_to(kzw_j[None, None, :], p_clean.shape)
+        s1, q1, s2, _, cnt = binned_weighted_dual(
+            p_clean.ravel(), p_dens.ravel(), w.ravel(), bin_idx, nb)
+        pk_clean = (s1 / cnt)[1:]
+        var = jnp.maximum(q1 / cnt - (s1 / cnt) ** 2, 0.0)
+        var = jnp.where(cnt > 1, var, 0.0)
+        pk_err = (jnp.sqrt(var) / jnp.sqrt(cnt))[1:]
+        pk_dens = (s2 / cnt)[1:]
 
         return {
             "k": jnp.asarray(kcent[1:], dtype),
