@@ -81,3 +81,43 @@ def test_banded_interp_pallas_duplicate_nodes():
                                         jnp.asarray(zt), jnp.asarray(fill),
                                         band=0))
     assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_rsd_fused_sort_interp_matches_reference(rng):
+    """Fused bitonic-sort + banded-interp kernel (interpret mode) vs the
+    sort + full-telescoping reference, including the validity flag."""
+    from jax import lax
+    from fastbox_tpu.ops.pallas.rsd_fused import rsd_sort_interp_pallas
+    from fastbox_tpu.ops.rsd import remap_los_batched
+
+    M, C, w = 256, 128, 4
+    zt = np.linspace(0.0, 127.0, C)
+    dz = zt[1] - zt[0]
+    s = zt[None, :] + rng.uniform(-w * dz * 0.9, w * dz * 0.9, size=(M, C))
+    # scramble row order so the in-kernel sort actually works
+    v = rng.standard_normal((M, C))
+    fill = rng.standard_normal(M)
+
+    out, ok = rsd_sort_interp_pallas(jnp.asarray(s), jnp.asarray(v),
+                                     jnp.asarray(zt), jnp.asarray(fill),
+                                     band=w, tol=w * dz, interpret=True)
+    assert bool(ok)
+    want = np.asarray(remap_los_batched(jnp.asarray(v), jnp.asarray(s),
+                                        jnp.asarray(zt), jnp.asarray(fill),
+                                        band=0))
+    assert np.allclose(np.asarray(out), want, rtol=1e-12, atol=1e-12)
+
+
+def test_rsd_fused_flag_false_on_violation(rng):
+    from fastbox_tpu.ops.pallas.rsd_fused import rsd_sort_interp_pallas
+
+    M, C, w = 256, 128, 4
+    zt = np.linspace(0.0, 127.0, C)
+    dz = zt[1] - zt[0]
+    s = zt[None, :] + rng.uniform(-20 * dz, 20 * dz, size=(M, C))
+    v = rng.standard_normal((M, C))
+    _, ok = rsd_sort_interp_pallas(jnp.asarray(s), jnp.asarray(v),
+                                   jnp.asarray(zt),
+                                   jnp.zeros(M), band=w, tol=w * dz,
+                                   interpret=True)
+    assert not bool(ok)
