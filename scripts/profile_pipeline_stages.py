@@ -26,6 +26,9 @@ def run(name, **kw):
     np.asarray(outs[-1]["pk_cleaned"])
     print(f"{name:34s} {(time.perf_counter()-t0)/10*1000:7.1f} ms", flush=True)
 
+# The first measured config in a process runs ~4x slow (tunnel/runtime
+# warm-up beyond compile), so burn one throwaway pass first.
+run("(warm-up, ignore)")
 run("full")
 run("sigma_nl=0 (no rsd noise)", sigma_nl=0.0)
 run("no foregrounds", include_foregrounds=False)

@@ -83,41 +83,104 @@ def test_banded_interp_pallas_duplicate_nodes():
     assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
-def test_rsd_fused_sort_interp_matches_reference(rng):
-    """Fused bitonic-sort + banded-interp kernel (interpret mode) vs the
-    sort + full-telescoping reference, including the validity flag."""
-    from jax import lax
-    from fastbox_tpu.ops.pallas.rsd_fused import rsd_sort_interp_pallas
+def test_rsd_fused_bracket_matches_reference(rng):
+    """Sort-free bracket kernel (interpret mode) vs wrap + sort + exact
+    telescoping interp, with displacements crossing both box faces so the
+    periodic roll-around path is exercised."""
+    from fastbox_tpu.ops.pallas.rsd_fused import rsd_bracket_interp_pallas
     from fastbox_tpu.ops.rsd import remap_los_batched
 
     M, C, w = 256, 128, 4
     zt = np.linspace(0.0, 127.0, C)
     dz = zt[1] - zt[0]
-    s = zt[None, :] + rng.uniform(-w * dz * 0.9, w * dz * 0.9, size=(M, C))
-    # scramble row order so the in-kernel sort actually works
+    L = zt[-1] - zt[0]
+    u = zt[None, :] + rng.uniform(-w * dz, w * dz, size=(M, C))
     v = rng.standard_normal((M, C))
     fill = rng.standard_normal(M)
+    assert (u < zt[0]).any() and (u > zt[-1]).any()  # wrap is exercised
 
-    out, ok = rsd_sort_interp_pallas(jnp.asarray(s), jnp.asarray(v),
-                                     jnp.asarray(zt), jnp.asarray(fill),
-                                     band=w, tol=w * dz, interpret=True)
-    assert bool(ok)
+    s_wrapped = (u - zt[0]) % L + zt[0]
+    out = rsd_bracket_interp_pallas(jnp.asarray(s_wrapped), jnp.asarray(v),
+                                    jnp.asarray(zt), jnp.asarray(fill),
+                                    band=w, interpret=True)
+    want = np.asarray(remap_los_batched(jnp.asarray(v),
+                                        jnp.asarray(s_wrapped),
+                                        jnp.asarray(zt), jnp.asarray(fill),
+                                        band=0, fused=False))
+    assert np.allclose(np.asarray(out), want, rtol=1e-10, atol=1e-10)
+
+
+def test_rsd_fused_hull_fill(rng):
+    """Targets outside [min s, max s] must take the fill value."""
+    from fastbox_tpu.ops.pallas.rsd_fused import rsd_bracket_interp_pallas
+
+    M, C = 256, 128
+    zt = np.linspace(0.0, 127.0, C)
+    # nodes confined to the middle of the box: edges outside the hull
+    s = np.sort(40.0 + 40.0 * rng.random((M, C)), axis=1)
+    v = rng.standard_normal((M, C))
+    fill = np.full(M, 7.5)
+    out = np.asarray(rsd_bracket_interp_pallas(
+        jnp.asarray(s), jnp.asarray(v), jnp.asarray(zt), jnp.asarray(fill),
+        band=4, interpret=True))
+    outside = (zt[None, :] < s[:, :1]) | (zt[None, :] > s[:, -1:])
+    # the bracket window cannot reach across the whole hull gap, but the
+    # fill mask must win everywhere outside
+    assert np.all(out[outside] == 7.5)
+    assert np.any(~outside)
+
+
+def test_redshift_space_density_fused_path_interpret(rng, monkeypatch):
+    """End-to-end redshift_space_density through the fused kernel + cond
+    wiring (interpret mode on CPU), vs the split jnp path."""
+    import fastbox_tpu.ops.rsd as rsd_mod
+    from fastbox_tpu.grid import GridSpec
+
+    N = 128
+    grid = GridSpec.create(box_scale=(500.0,) * 3, nsamp=N, redshift=0.0)
+    delta = rng.standard_normal((N, N, N))
+    Hz = 70.0
+    dz = float(np.asarray(grid.z)[1] - np.asarray(grid.z)[0])
+    vel = 0.3 * Hz * dz * rng.standard_normal((N, N, N))
+
+    want = np.asarray(rsd_mod.redshift_space_density(
+        jnp.asarray(delta), jnp.asarray(vel), grid, Hz))
+    monkeypatch.setattr(rsd_mod, "_INTERPRET", True)
+    got = np.asarray(rsd_mod.redshift_space_density(
+        jnp.asarray(delta), jnp.asarray(vel), grid, Hz))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    # shell-crossing velocities must take the exact fallback branch and
+    # still match the split path
+    vel_big = 8.0 * Hz * dz * rng.standard_normal((N, N, N))
+    monkeypatch.setattr(rsd_mod, "_INTERPRET", False)
+    want_big = np.asarray(rsd_mod.redshift_space_density(
+        jnp.asarray(delta), jnp.asarray(vel_big), grid, Hz))
+    monkeypatch.setattr(rsd_mod, "_INTERPRET", True)
+    got_big = np.asarray(rsd_mod.redshift_space_density(
+        jnp.asarray(delta), jnp.asarray(vel_big), grid, Hz))
+    assert np.allclose(got_big, want_big, rtol=1e-9, atol=1e-9)
+
+
+def test_rsd_fused_duplicate_nodes_match_exact(rng):
+    """Duplicate node coordinates (different values) must tie-break like
+    the stable-sort + telescoping exact path."""
+    from fastbox_tpu.ops.pallas.rsd_fused import rsd_bracket_interp_pallas
+    from fastbox_tpu.ops.rsd import remap_los_batched
+
+    M, C = 256, 128
+    zt = np.arange(C, dtype=np.float64)
+    s = np.tile(zt, (M, 1)) + rng.uniform(-0.4, 0.4, size=(M, C))
+    # inject exact duplicates at assorted places
+    s[:, 40] = s[:, 41]
+    s[:, 90] = s[:, 92]
+    s[:, 7] = s[:, 5]
+    v = rng.standard_normal((M, C))
+    fill = rng.standard_normal(M)
+    got = np.asarray(rsd_bracket_interp_pallas(
+        jnp.asarray(s), jnp.asarray(v), jnp.asarray(zt), jnp.asarray(fill),
+        band=4, interpret=True))
     want = np.asarray(remap_los_batched(jnp.asarray(v), jnp.asarray(s),
                                         jnp.asarray(zt), jnp.asarray(fill),
-                                        band=0))
-    assert np.allclose(np.asarray(out), want, rtol=1e-12, atol=1e-12)
-
-
-def test_rsd_fused_flag_false_on_violation(rng):
-    from fastbox_tpu.ops.pallas.rsd_fused import rsd_sort_interp_pallas
-
-    M, C, w = 256, 128, 4
-    zt = np.linspace(0.0, 127.0, C)
-    dz = zt[1] - zt[0]
-    s = zt[None, :] + rng.uniform(-20 * dz, 20 * dz, size=(M, C))
-    v = rng.standard_normal((M, C))
-    _, ok = rsd_sort_interp_pallas(jnp.asarray(s), jnp.asarray(v),
-                                   jnp.asarray(zt),
-                                   jnp.zeros(M), band=w, tol=w * dz,
-                                   interpret=True)
-    assert not bool(ok)
+                                        band=0, fused=False))
+    assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
