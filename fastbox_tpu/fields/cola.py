@@ -16,11 +16,12 @@ which follows from the first- and second-order growth equations.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from scipy.integrate import quad
 
 from ..cosmology import background as bg
@@ -107,7 +108,7 @@ def _kick_drift_integrals(params, a1, a2):
 def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          redshift_init: float = 15.0, n_steps: int | None = None,
                          dtype=jnp.float32, keep_velocities: bool = True,
-                         force_factor: int = 1):
+                         force_factor: int = 1, lattice_B: int | None = 2):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
     Parameters mirror the reference's ``realise_density_cola``
@@ -117,6 +118,12 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     on a mesh of ``force_factor * N`` cells per side: 2-3x sharpens
     small-scale growth near the particle Nyquist at 8-27x the force-mesh
     memory; 1 (default) matches the particle grid.
+
+    ``lattice_B`` (force_factor == 1 only) enables the roll-based lattice
+    CIC paint/gather (fields/lattice_cic.py): exact whenever every
+    particle stays within ``lattice_B`` cells of its Lagrangian site —
+    checked at runtime per force evaluation, with a ``lax.cond`` fallback
+    to the scatter path.  ``None`` disables.
 
     Returns:
         (delta_x, vel) where delta_x is the CIC density contrast on the grid
@@ -176,17 +183,73 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
 
     d1_init, _, d2_init, _ = _growth_scalars(params, a_init)
 
-    @partial(jax.jit, static_argnames=())
-    def evolve(q, p1, p2):
-        x = q + dtype.type(d1_init) * p1 + dtype.type(d2_init) * p2
+    # Scalars the compiled program takes as runtime arguments, so one
+    # compiled ``evolve`` serves every cosmology/redshift at a given
+    # (grid, force_factor, lattice_B, dtype, keep_velocities).
+    a2H = a_final**2 * H0 * float(bg.e_of_a(params, a_final))
+    scal = jnp.asarray(
+        [d1_init, d2_init, fac_pm, a2H * f1_f * D1_f, a2H * f2_f * D2_f,
+         1.0 / a_final], dtype)
+
+    evolve = _build_evolve(grid, int(force_factor),
+                           None if lattice_B is None else int(lattice_B),
+                           dtype.name, bool(keep_velocities))
+    return evolve(q, p1, p2, step_consts, scal)
+
+
+@lru_cache(maxsize=8)
+def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
+                  dtype_name: str, keep_velocities: bool):
+    """Compile-once COLA evolution program for a static configuration.
+
+    Cached on the static knobs only: the cosmology enters via the runtime
+    ``scal`` vector and ``step_consts`` arrays, and n_steps via the scan
+    length, so re-realising (new seeds, new cosmologies) never re-traces.
+    """
+    dtype = jnp.dtype(dtype_name)
+    N = grid.N
+    cell = grid.Lx / N
+
+    # Lattice-ordered roll-based CIC (fields/lattice_cic.py) replaces the
+    # scatter/gather path whenever the force mesh matches the particle grid
+    # and every wrapped displacement fits the static bound — checked per
+    # call, with a lax.cond fallback to the exact scatter path.
+    use_lattice = (force_factor == 1 and lattice_B is not None)
+    if use_lattice:
+        from .lattice_cic import (cic_gather_lattice, cic_paint_lattice,
+                                  wrapped_displacement)
+
+    Nf = N * force_factor
+    cell_f = grid.Lx / Nf
+    Hf = Nf // 2 + 1
+    kf = 2.0 * np.pi * np.fft.fftfreq(Nf, d=1.0 / Nf) / grid.Lx
+    # Zero the derivative axis's Nyquist plane: in the full-FFT form the
+    # ``.real`` projection drops exactly that (anti-Hermitian) plane, so
+    # this keeps the rfft-based solve equivalent to fftn + .real.
+    nyq_full = np.zeros(Nf, bool)
+    nyq_half = np.zeros(Hf, bool)
+    if Nf % 2 == 0:
+        nyq_full[Nf // 2] = True
+        nyq_half[-1] = True
+    kx_d_np = np.where(nyq_full, 0.0, kf)
+    kz_d_np = np.where(nyq_half, 0.0, kf[:Hf])
+    # 1-D constants only — the 3-D k^2 grid and the particle-Nyquist cut
+    # are broadcast on the fly inside jit (embedded N^3 constants are
+    # shipped to the remote compiler and blow up at large N).
+    m1_np = np.abs(kf) <= np.pi * N / grid.Lx * (1 + 1e-12)
+
+    @jax.jit
+    def evolve(q, p1, p2, step_consts, scal):
+        d1_init, d2_init, fac_pm, pfac1, pfac2, inv_a_final = scal
+        x = q + d1_init * p1 + d2_init * p2
         v = jnp.zeros_like(x)  # residual momentum
 
-        Nf = N * int(force_factor)
-        cell_f = grid.Lx / Nf
-        kf = 2.0 * np.pi * np.fft.fftfreq(Nf, d=1.0 / Nf) / grid.Lx
         kxf = jnp.asarray(kf, dtype)
+        kzf_h = jnp.asarray(kf[:Hf].copy(), dtype)
+        kx_d = jnp.asarray(kx_d_np, dtype)
+        kz_d = jnp.asarray(kz_d_np, dtype)
         k2f = (kxf[:, None, None] ** 2 + kxf[None, :, None] ** 2
-               + kxf[None, None, :] ** 2)
+               + kzf_h[None, None, :] ** 2)
         mean_per_cell = dtype.type(N**3 / Nf**3)
         if force_factor > 1:
             # Keep only modes that exist on the particle grid: beyond the
@@ -195,29 +258,50 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
             # With the cut, the finer mesh's whole benefit is its narrower
             # CIC window — sharper small-scale growth (validated against
             # the analytic 2LPT force: residual halves at force_factor=2).
-            k_ny = np.pi * N / grid.Lx
-            m1 = jnp.asarray(np.abs(kf) <= k_ny * (1 + 1e-12))
-            kcut = (m1[:, None, None] & m1[None, :, None] & m1[None, None, :])
+            m1 = jnp.asarray(m1_np)
+            m1h = jnp.asarray(m1_np[:Hf])
+            kcut = (m1[:, None, None] & m1[None, :, None]
+                    & m1h[None, None, :])
         else:
             kcut = None
 
         def pm_force(x, a):
             u = x / cell_f
-            rho = cic_paint_particles(u, Nf)
+            if use_lattice:
+                d = wrapped_displacement(u.reshape(N, N, N, 3), N)
+                ok = jnp.max(jnp.abs(d)) <= dtype.type(lattice_B)
+                rho = lax.cond(
+                    ok,
+                    lambda _: cic_paint_lattice(d, B=lattice_B),
+                    lambda _: cic_paint_particles(u, Nf),
+                    None)
+            else:
+                rho = cic_paint_particles(u, Nf)
             delta = rho / mean_per_cell - 1.0
-            dk = jnp.fft.fftn(delta)
+            dk = jnp.fft.rfftn(delta)
             if kcut is not None:
                 dk = dk * kcut
             inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
-            c = dtype.type(fac_pm) / a
+            c = fac_pm / a
             # Note: no window deconvolution in the force — W^-2 diverges at
             # the mesh corners and pumps aliasing noise into the particles.
             # Growth is therefore mildly suppressed approaching the particle
             # Nyquist; pass force_factor >= 2 when that regime matters.
             base = (1j * c) * dk * inv_k2
-            Fx = jnp.fft.ifftn(base * kxf[:, None, None]).real
-            Fy = jnp.fft.ifftn(base * kxf[None, :, None]).real
-            Fz = jnp.fft.ifftn(base * kxf[None, None, :]).real
+            Fx = jnp.fft.irfftn(base * kx_d[:, None, None], s=(Nf, Nf, Nf))
+            Fy = jnp.fft.irfftn(base * kx_d[None, :, None], s=(Nf, Nf, Nf))
+            Fz = jnp.fft.irfftn(base * kz_d[None, None, :], s=(Nf, Nf, Nf))
+            if use_lattice:
+                def g_lat(_):
+                    return jnp.stack(
+                        [cic_gather_lattice(F, d, B=lattice_B).reshape(-1)
+                         for F in (Fx, Fy, Fz)], axis=-1)
+
+                def g_sc(_):
+                    return jnp.stack(
+                        [cic_gather(F, u) for F in (Fx, Fy, Fz)], axis=-1)
+
+                return lax.cond(ok, g_lat, g_sc, None)
             return jnp.stack([
                 cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
             ], axis=-1)
@@ -227,7 +311,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
             K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
             F = pm_force(x, a_f)
             # COLA compensation: subtract the LPT acceleration
-            comp = (dtype.type(fac_pm) / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
+            comp = (fac_pm / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
             Fres = F - comp
             v = v + Fres * (K1 + K2)
             x = x + v * Dr + dD1_ * p1 + dD2_ * p2
@@ -237,25 +321,39 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
         (x, v), _ = jax.lax.scan(step, (x, v), step_consts)
 
         u = x / cell
-        rho = cic_paint_particles(u, N)
+        if use_lattice:
+            d_fin = wrapped_displacement(u.reshape(N, N, N, 3), N)
+            ok_fin = jnp.max(jnp.abs(d_fin)) <= dtype.type(lattice_B)
+
+            def paint_fin(w):
+                return lax.cond(
+                    ok_fin,
+                    lambda _: cic_paint_lattice(
+                        d_fin, B=lattice_B,
+                        weights=None if w is None else w.reshape(N, N, N)),
+                    lambda _: cic_paint_particles(u, N, weights=w),
+                    None)
+        else:
+            def paint_fin(w):
+                return cic_paint_particles(u, N, weights=w)
+
+        rho = paint_fin(None)
         # Deconvolve the CIC assignment window (standard PM practice), so
         # the output spectrum is unbiased up to the particle Nyquist scale.
         from ..ops.painting import compensation
 
-        comp_k = compensation(grid, "cic", dtype)
-        delta_x = jnp.fft.ifftn(jnp.fft.fftn(rho - 1.0) * comp_k).real.astype(dtype)
+        comp_k = compensation(grid, "cic", dtype)[..., : N // 2 + 1]
+        delta_x = jnp.fft.irfftn(jnp.fft.rfftn(rho - 1.0) * comp_k,
+                                 s=(N, N, N)).astype(dtype)
         if not keep_velocities:
             return delta_x, None
         # Total momentum = LPT part at a_final + residual; v_pec = p/a (km/s)
-        a2H = a_final**2 * H0 * float(bg.e_of_a(params, a_final))
-        p_tot = (v
-                 + dtype.type(a2H * f1_f * D1_f) * p1
-                 + dtype.type(a2H * f2_f * D2_f) * p2)
+        p_tot = v + pfac1 * p1 + pfac2 * p2
         vel_grids = []
         for comp in range(3):
-            m = cic_paint_particles(u, N, weights=p_tot[:, comp])
+            m = paint_fin(p_tot[:, comp])
             vel_grids.append(jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10), 0.0)
-                             / dtype.type(a_final))
+                             * inv_a_final)
         return delta_x, jnp.stack(vel_grids)
 
-    return evolve(q, p1, p2)
+    return evolve
