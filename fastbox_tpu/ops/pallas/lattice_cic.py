@@ -1,0 +1,269 @@
+"""Pallas TPU kernels: fused lattice CIC paint/gather.
+
+The XLA formulation of the lattice CIC (fields/lattice_cic.py) lowers to
+~(2B+2)^3 separate rolled-product ops, each an HBM round trip at N^3 —
+correct, but bandwidth-catastrophic (hundreds of passes over the cube).
+These kernels keep the whole banded accumulation in VMEM.
+
+Formulation (shared by both kernels).  Particles are lattice-ordered, so
+the (N, N, N) particle array IS the Lagrangian grid, and with wrapped
+displacements bounded by ``B`` cells, the CIC cloud of the particle at
+site ``l`` spans cells ``l + o`` with per-axis offsets ``o in [-B, B+1]``.
+
+* Paint is computed OUTPUT-centric (a gather over sources — no scatter
+  anywhere): mesh cell ``c`` sums contributions from particles in the
+  cube ``l = c - o``.  Along the blocked x axis the three x-slabs
+  ``j-1, j, j+1`` (periodic) cover every contributor of out-slab ``j`` —
+  three overlapping BlockSpec reads of the same array.  Along y and z the
+  full axes live in-block, so offsets are single ``pltpu.roll``s
+  (sublane/lane rotates) whose circular wrap IS the periodic box.
+* Gather reads the mesh with the same three-slab trick and accumulates
+  ``sum_o w_o(l) * mesh[l + o]`` per particle.
+
+Grid layout.  The x-offset loop is a SECOND GRID DIMENSION with the
+output block revisited across it (``index_map (j, k) -> (j, 0, 0)``) —
+the canonical Pallas reduction pattern (zero-init at ``k == 0``,
+accumulate, flush once when ``j`` advances).  Two earlier single-
+invocation layouts failed: a register/scratch accumulator over the fully
+unrolled (2B+2)^3 terms made Mosaic spill ~170 MB of temporaries at
+256^3, and accumulating straight into the output window with dozens of
+read-modify-writes raced with its copy-out DMA when the kernel ran
+inside larger programs (non-deterministic dropped contributions).  Per
+invocation only the ``k``-guarded 36-term body executes, so liveness
+stays small and the output is flushed exactly once per slab.
+
+Per-axis CIC weight of particle ``l`` on cell ``l + o``:
+``w(o) = (1-fr) * [fl == o] + fr * [fl == (o-1)]`` with ``fl = floor(d)``,
+``fr = d - fl`` — identical to fields/lattice_cic.py, so the kernels are
+exact (summation order aside) whenever ``max |d| <= B``; callers verify
+that bound and fall back (the cola engine already does).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cic_paint_lattice_pallas", "cic_gather_lattice_pallas"]
+
+
+def _axis_w(d, o):
+    """CIC weight on the cell at (signed) offset ``o`` from the lattice
+    site, given the wrapped displacement ``d`` along this axis."""
+    fl = jnp.floor(d)
+    fr = d - fl
+    return (1.0 - fr) * (fl == o) + fr * (fl == (o - 1))
+
+
+def _rows(triple, s, bx):
+    """Rows [s, s+bx) of the virtual (3bx, N, N) concatenation of three
+    adjacent x-slab refs, touching at most two of them (s in [0, 2bx])."""
+    a, r = divmod(s, bx)
+    if r == 0:
+        return triple[a][:]
+    return jnp.concatenate([triple[a][r:], triple[a + 1][:r]], axis=0)
+
+
+def _paint_kernel(*refs, B: int, bx: int, weighted: bool):
+    if weighted:
+        (dx0, dx1, dx2, dy0, dy1, dy2, dz0, dz1, dz2,
+         w0, w1, w2, out_ref) = refs
+        wtrip = (w0, w1, w2)
+    else:
+        dx0, dx1, dx2, dy0, dy1, dy2, dz0, dz1, dz2, out_ref = refs
+        wtrip = None
+    dtype = dx0.dtype
+    N1 = out_ref.shape[1]
+    N2 = out_ref.shape[2]
+    k_id = pl.program_id(1)
+
+    @pl.when(k_id == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, dtype)
+
+    # x offset ox = B + 1 - k: particle rows c + k - B - 1 (concat-local
+    # slice start bx + k - B - 1) contribute to out row c with offset ox.
+    for k in range(2 * B + 2):
+        @pl.when(k_id == k)
+        def _(k=k):
+            ox = B + 1 - k
+            s = bx + k - B - 1
+            sdx = _rows((dx0, dx1, dx2), s, bx)
+            sdy = _rows((dy0, dy1, dy2), s, bx)
+            sdz = _rows((dz0, dz1, dz2), s, bx)
+            wx = _axis_w(sdx, dtype.type(ox))
+            if weighted:
+                wx = wx * _rows(wtrip, s, bx)
+            acc = None
+            for oy in range(-B, B + 2):
+                wxy = wx * _axis_w(sdy, dtype.type(oy))
+                inner = None
+                for oz in range(-B, B + 2):
+                    t = pltpu.roll(wxy * _axis_w(sdz, dtype.type(oz)),
+                                   oz % N2, 2)
+                    inner = t if inner is None else inner + t
+                t = pltpu.roll(inner, oy % N1, 1)
+                acc = t if acc is None else acc + t
+            out_ref[:] += acc
+
+
+def _gather_kernel(m0, m1, m2, dx_r, dy_r, dz_r, out_ref, *, B: int, bx: int):
+    dtype = dx_r.dtype
+    N1 = out_ref.shape[1]
+    N2 = out_ref.shape[2]
+    k_id = pl.program_id(1)
+
+    @pl.when(k_id == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, dtype)
+
+    for k in range(2 * B + 2):
+        @pl.when(k_id == k)
+        def _(k=k):
+            ox = k - B
+            Mx = _rows((m0, m1, m2), bx + ox, bx)
+            wx = _axis_w(dx_r[:], dtype.type(ox))
+            dy = dy_r[:]
+            dz = dz_r[:]
+            acc = None
+            for oy in range(-B, B + 2):
+                # mesh value at (ly + oy) lands at particle row ly:
+                # roll by -oy
+                R = pltpu.roll(Mx, (-oy) % N1, 1)
+                s = None
+                for oz in range(-B, B + 2):
+                    t = (_axis_w(dz, dtype.type(oz))
+                         * pltpu.roll(R, (-oz) % N2, 2))
+                    s = t if s is None else s + t
+                t = wx * _axis_w(dy, dtype.type(oy)) * s
+                acc = t if acc is None else acc + t
+            out_ref[:] += acc
+
+
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _pick_bx(N: int, B: int) -> int:
+    """Largest x-slab size dividing N that keeps the kernel's working set
+    (9-12 double-buffered input blocks + slab concats + temps, ~35
+    block-equivalents) within the VMEM budget, and >= B+1."""
+    per_bx = 35 * N * N * 4
+    bx = max(B + 1, min(N, _VMEM_BUDGET // per_bx))
+    while N % bx != 0 and bx > 1:
+        bx -= 1
+    if bx < B + 1:
+        # Budget-guided pick is below the B+1 floor: take the smallest
+        # divisor of N that satisfies it (wide bands need bigger slabs).
+        bx = B + 1
+        while bx <= N and N % bx != 0:
+            bx += 1
+    if bx > N or N % bx != 0:
+        raise ValueError(f"N={N} has no x-slab size >= B+1={B + 1}")
+    return bx
+
+
+@partial(jax.jit, static_argnames=("B", "interpret"))
+def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
+                             interpret: bool = False):
+    """Fused CIC paint of lattice-ordered particles (see module docstring).
+
+    Parameters:
+        disp: (N, N, N, 3) wrapped displacements in cell units, |disp|<=B.
+        B: static displacement bound in cells.
+        weights: optional (N, N, N) per-particle weights.
+
+    Returns:
+        (N, N, N) mesh of summed CIC weights.
+    """
+    N = (disp[0] if isinstance(disp, tuple) else disp).shape[0]
+    dtype = (disp[0] if isinstance(disp, tuple) else disp).dtype
+    B = int(B)
+    bx = _pick_bx(N, B)
+    nblk = N // bx
+
+    # Materialise the operands behind an optimization barrier: letting XLA
+    # rematerialise/fuse producers into the custom-call's operand buffers
+    # is implicated in non-deterministic results when these kernels run
+    # inside large scan programs (see fields/cola.py) on this platform.
+    if isinstance(disp, tuple):
+        ax = disp
+    else:
+        ax = (disp[..., 0], disp[..., 1], disp[..., 2])
+    dx, dy, dz = jax.lax.optimization_barrier(tuple(jnp.asarray(a) for a in ax))
+
+    def spec(off):
+        return pl.BlockSpec((bx, N, N),
+                            lambda j, k, off=off: ((j + off) % nblk, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    weighted = weights is not None
+    args = [dx, dx, dx, dy, dy, dy, dz, dz, dz]
+    specs = [spec(-1), spec(0), spec(1)] * 3
+    if weighted:
+        weights = jax.lax.optimization_barrier(weights)
+        args += [weights, weights, weights]
+        specs += [spec(-1), spec(0), spec(1)]
+
+    return pl.pallas_call(
+        partial(_paint_kernel, B=B, bx=bx, weighted=weighted),
+        grid=(nblk, 2 * B + 2),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, N, N), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("B", "interpret"))
+def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
+                              interpret: bool = False):
+    """Fused CIC interpolation at lattice-ordered particle positions.
+
+    Parameters:
+        mesh: (N, N, N) periodic field.
+        disp: (N, N, N, 3) wrapped displacements in cell units, |disp|<=B.
+        B: static displacement bound in cells.
+
+    Returns:
+        (N, N, N) interpolated values, one per particle.
+    """
+    N = mesh.shape[0]
+    B = int(B)
+    bx = _pick_bx(N, B)
+    nblk = N // bx
+
+    # See the paint kernel's operand barrier comment.
+    if isinstance(disp, tuple):
+        ax = disp
+    else:
+        ax = (disp[..., 0], disp[..., 1], disp[..., 2])
+    mesh, dx, dy, dz = jax.lax.optimization_barrier(
+        (mesh,) + tuple(jnp.asarray(a) for a in ax))
+
+    def spec(off):
+        return pl.BlockSpec((bx, N, N),
+                            lambda j, k, off=off: ((j + off) % nblk, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    own = pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_gather_kernel, B=B, bx=bx),
+        grid=(nblk, 2 * B + 2),
+        in_specs=[spec(-1), spec(0), spec(1), own, own, own],
+        out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, N, N), mesh.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(mesh, mesh, mesh, dx, dy, dz)

@@ -78,6 +78,30 @@ def test_paint_gather_are_adjoint(rng):
     assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
 
 
+def test_pallas_kernels_match_xla_rolls(rng):
+    """The fused Pallas paint/gather (ops/pallas/lattice_cic.py) must equal
+    the XLA-roll formulation (interpret mode; tiny case for CPU speed —
+    chosen so both one- and two-piece ``_rows`` slices are exercised)."""
+    from fastbox_tpu.ops.pallas.lattice_cic import (
+        cic_gather_lattice_pallas,
+        cic_paint_lattice_pallas,
+    )
+
+    N, B = 8, 1
+    disp, u = _lattice_setup(rng, N, B)
+    d = wrapped_displacement(jnp.asarray(u, jnp.float32), N)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, size=(N, N, N)).astype(np.float32))
+    mesh = jnp.asarray(rng.standard_normal((N, N, N)).astype(np.float32))
+
+    p_ref = cic_paint_lattice(d, B=B, weights=w)
+    p_pl = cic_paint_lattice_pallas(d, B=B, weights=w, interpret=True)
+    assert np.abs(np.asarray(p_ref) - np.asarray(p_pl)).max() < 1e-5
+
+    g_ref = cic_gather_lattice(mesh, d, B=B)
+    g_pl = cic_gather_lattice_pallas(mesh, d, B=B, interpret=True)
+    assert np.abs(np.asarray(g_ref) - np.asarray(g_pl)).max() < 1e-5
+
+
 def test_cola_lattice_matches_scatter_path():
     """Full COLA evolution: lattice CIC and scatter CIC give the same field
     (identical operators, different summation order only)."""
@@ -95,7 +119,8 @@ def test_cola_lattice_matches_scatter_path():
 
 def test_cola_bound_violation_falls_back():
     """lattice_B=0 cannot hold (displacements exceed 0 cells), so every step
-    must take the scatter fallback — results still exact."""
+    must take the exact scatter fallback — results identical to the
+    all-scatter path."""
     cosmo = build_cosmology(dict(Omega_c=0.25, Omega_b=0.05, h=0.7,
                                  n_s=0.95, sigma8=0.8), redshift=0.0)
     grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=16, redshift=0.0)
