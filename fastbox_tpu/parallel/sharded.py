@@ -3,14 +3,25 @@
 This is the scaling path for boxes that do not fit one chip (>= 1024^3) and
 for Monte-Carlo ensemble throughput: the whole
 realize -> bias/lognormal -> velocity -> RSD -> foregrounds -> noise ->
-PCA clean -> binned P(k) step runs inside a single ``shard_map`` program:
+beam/kpar response -> PCA clean -> binned P(k) step runs inside a single
+``shard_map`` program:
 
   * 'ens'   — data parallelism over realisations (no communication)
   * 'space' — slab decomposition of the leading spatial axis; 3D/2D FFTs use
               all-to-all transposes over ICI (parallel/fft.py); global
-              reductions (lognormal mean, PCA covariance, P(k) bins) psum
-              over 'space'; per-LOS ops (RSD) stay local because the z axis
-              is never sharded.
+              reductions (lognormal mean, PCA covariance, P(k) bins,
+              sigma_data) psum over 'space'; per-LOS ops (RSD, k_par
+              filters) stay local because the z axis is never sharded.
+
+Every noise field is drawn with the mesh-independent row-keyed scheme
+(parallel/rng.py), so a realisation is a function of its key alone: the
+single-chip pipeline in ``noise_scheme='rows'`` mode produces bit-comparable
+fields for the same key (asserted by tests/test_parallel.py), and results
+do not change with the device count.
+
+Full ``PipelineConfig`` support: ``rsd_method``, ``beam_dish_m``,
+``kpar_min`` and ``pca_exact`` are honored identically to the single-chip
+pipeline (pipeline.py:229-256); nothing is silently dropped.
 
 The replaced reference machinery: nbodykit's MPI slab FFTs and every
 Python-loop stage (SURVEY.md §2.3, §5.7-5.8).
@@ -33,8 +44,22 @@ from ..ops.rsd import remap_los_batched
 from ..ops.spectra import default_kbins
 from ..pipeline import PipelineConfig, _hi_bias, _hi_tb
 from .fft import pfft2_local, pifft2_local, pirfft3_local, prfft3_local
+from .rng import TAGS, row_normal
 
 __all__ = ["make_sharded_ensemble_step"]
+
+
+def _subspace_from_cov(cov, nmodes: int, iters: int = 16):
+    """Top-``nmodes`` subspace of a covariance by block power iteration
+    (same algorithm as filters.pca.pca_filter_subspace, operating on the
+    already-reduced covariance)."""
+    Q, _ = jnp.linalg.qr(cov[:, :nmodes])
+
+    def body(_, Q):
+        Qn, _ = jnp.linalg.qr(cov @ Q)
+        return Qn
+
+    return jax.lax.fori_loop(0, iters, body, Q)
 
 
 def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
@@ -66,9 +91,10 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     H = N // 2 + 1
     kx_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lx)
     ky_full = np.asarray(2.0 * np.pi * grid.fft_index / grid.Ly)
+    # fft_index[:H] ends with the -N/2 Nyquist entry for even N — the same
+    # signed convention the single-chip path gets from grid.kvec()[:H]
+    # (the plane is zeroed below anyway, box.py:268-274).
     kz_half = np.asarray(2.0 * np.pi * grid.fft_index / grid.Lz)[:H].copy()
-    if N % 2 == 0:
-        kz_half[-1] = -kz_half[-1]  # Nyquist plane carries the negative freq
     nyq_z = np.zeros(H, dtype=bool)
     if N % 2 == 0:
         nyq_z[-1] = True
@@ -88,6 +114,15 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     freqs_c = jnp.asarray(freqs.copy(), dtype)
     sigma_c = jnp.asarray(sigma_rms, dtype)
 
+    # Instrument response constants (config 3), mirroring pipeline.py
+    beam_sig_r = None
+    if config.beam_dish_m is not None:
+        from ..constants import C_MS
+
+        lam = C_MS / (freqs * 1e6)
+        fwhm = 1.22 * lam / config.beam_dish_m               # rad
+        beam_sig_r = (fwhm / np.sqrt(8.0 * np.log(2.0))) * cosmology.chi
+
     # Smoothing kernels (FFT of scipy's truncated wrap-mode kernel)
     fg_kern = np.fft.fft(_scipy_gaussian_kernel1d(config.fg_smoothing_deg / dang, N))
     al_kern = np.fft.fft(
@@ -103,9 +138,15 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
 
     def step(keys_local):
         s = lax.axis_index("space")
+        row0 = s * Np
         B_loc = keys_local.shape[0]
 
-        kx_loc = lax.dynamic_slice_in_dim(jnp.asarray(kx_full, dtype), s * Np, Np)
+        def draw(tag, row_shape):
+            return jax.vmap(
+                lambda k: row_normal(k, tag, row0, Np, row_shape, dtype)
+            )(keys_local)
+
+        kx_loc = lax.dynamic_slice_in_dim(jnp.asarray(kx_full, dtype), row0, Np)
         ky = jnp.asarray(ky_full, dtype)
         kzh = jnp.asarray(kz_half, dtype)
         k2_loc = (kx_loc[:, None, None] ** 2 + ky[None, :, None] ** 2
@@ -113,14 +154,11 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         kmag_loc = jnp.sqrt(k2_loc)
 
         # --- (1) Gaussian realisation --------------------------------
-        # Real white noise rfft'd to a Hermitian half-spectrum: one half-FFT
-        # replaces the full ifft+fft round trip, with identical statistics
-        # to the reference's complex draw + .real projection (box.py:174-193).
-        def draw_white(key):
-            k1 = jax.random.fold_in(key, s)
-            return jax.random.normal(k1, (Np, N, N), dtype)
-
-        white = jax.vmap(draw_white)(keys_local)      # (B, Np, N, N) real
+        # Row-keyed real white noise rfft'd to a Hermitian half-spectrum:
+        # one half-FFT replaces the full ifft+fft round trip, with identical
+        # statistics to the reference's complex draw + .real projection
+        # (box.py:174-193).
+        white = draw(TAGS["density"], (N, N))         # (B, Np, N, N) real
         white_h = prfft3_local(white, "space") \
             * dtype.type(N ** -1.5)                    # unit-variance Hermitian
         amp = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_loc)) * dtype.type(boxfactor))
@@ -141,34 +179,25 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
         vel = vel_z
         if config.sigma_nl > 0.0:
-            def draw_nl(key):
-                nl_key = jax.random.fold_in(jax.random.fold_in(key, s), 17)
-                return jax.random.normal(nl_key, (Np, N, N), dtype)
-
-            vel = vel + dtype.type(config.sigma_nl) * jax.vmap(draw_nl)(keys_local)
+            vel = vel + dtype.type(config.sigma_nl) * draw(TAGS["sigma_nl"],
+                                                           (N, N))
         svals = jnp.asarray(zgrid, dtype)[None, None, None, :] - vel / dtype.type(Hz)
         L_z = zgrid[-1] - zgrid[0]
         svals = (svals - dtype.type(zgrid[0])) % dtype.type(L_z) + dtype.type(zgrid[0])
         fill = 0.5 * (delta_ln[..., 0] + delta_ln[..., -1])
         delta_s = remap_los_batched(
             delta_ln.reshape(-1, N), svals.reshape(-1, N),
-            jnp.asarray(zgrid, dtype), fill.reshape(-1), method="linear",
-            ztarget_np=zgrid,
+            jnp.asarray(zgrid, dtype), fill.reshape(-1),
+            method=config.rsd_method, ztarget_np=zgrid,
         ).reshape(delta_ln.shape)
 
         data = dtype.type(Tb) * (1.0 + delta_s)
 
         # --- (5) foregrounds (distributed 2D FFT) --------------------
         if config.include_foregrounds:
-            def draw_fg(key):
-                kf = jax.random.fold_in(jax.random.fold_in(key, s), 101)
-                k1, k2, k3 = jax.random.split(kf, 3)
-                w2 = (jax.random.normal(k1, (Np, N), dtype)
-                      + 1j * jax.random.normal(k2, (Np, N), dtype))
-                a2 = jax.random.normal(k3, (Np, N), dtype)
-                return w2, a2
-
-            white2d, alpha_w = jax.vmap(draw_fg)(keys_local)
+            white2d = (draw(TAGS["fg_re"], (N,))
+                       + 1j * draw(TAGS["fg_im"], (N,)))  # (B, Np, N)
+            alpha_w = draw(TAGS["alpha"], (N,))
             k_perp = jnp.sqrt(kx_loc[:, None] ** 2 + ky[None, :] ** 2)
             ell = 0.5 * k_perp * dtype.type(cosmology.chi) / 1000.0
             C_ell = jnp.where(
@@ -177,8 +206,8 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                 * jnp.where(ell > 0, ell, 1.0) ** dtype.type(config.fg_beta),
                 0.0,
             ) * dtype.type(N**4 / (grid.Lx * grid.Ly))
-            fgk_loc = lax.dynamic_slice_in_dim(jnp.asarray(fg_kern), s * Np, Np)
-            alk_loc = lax.dynamic_slice_in_dim(jnp.asarray(al_kern), s * Np, Np)
+            fgk_loc = lax.dynamic_slice_in_dim(jnp.asarray(fg_kern), row0, Np)
+            alk_loc = lax.dynamic_slice_in_dim(jnp.asarray(al_kern), row0, Np)
             fg_k = (white2d * jnp.sqrt(C_ell)[None]
                     * fgk_loc[None, :, None] * jnp.asarray(fg_kern)[None, None, :])
             fg_x = pifft2_local(fg_k, "space").real.astype(dtype) \
@@ -194,37 +223,52 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
 
         # --- (6) radiometer noise ------------------------------------
         if config.include_noise:
-            def draw_noise(key):
-                kn = jax.random.fold_in(jax.random.fold_in(key, s), 202)
-                return jax.random.normal(kn, (Np, N, N), dtype)
+            data = data + draw(TAGS["noise"], (N, N)) * sigma_c[None, None, None, :]
 
-            data = data + jax.vmap(draw_noise)(keys_local) * sigma_c[None, None, None, :]
+        # --- (6b) instrument response (config 3): per-channel Gaussian
+        # beam in k_perp (distributed 2D FFT over the sharded pixel
+        # plane), and a k_par foreground-avoidance high-pass (local z)
+        if beam_sig_r is not None:
+            sig2 = jnp.asarray(beam_sig_r, dtype) ** 2          # (Nfreq,)
+            kperp2 = (kx_loc[:, None] ** 2 + ky[None, :] ** 2)  # (Np, N)
+            Bfac = jnp.exp(-0.5 * kperp2[None, :, :, None] * sig2[None, None, None, :])
+            dk2 = pfft2_local(data.astype(cdtype), "space")
+            data = pifft2_local(dk2 * Bfac, "space").real.astype(dtype)
+        if config.kpar_min is not None:
+            dkz = jnp.fft.rfft(data, axis=3)
+            T = 1.0 - jnp.exp(-0.5 * (kzh / dtype.type(config.kpar_min)) ** 2)
+            data = jnp.fft.irfft(dkz * T[None, None, None, :], n=N,
+                                 axis=3).astype(dtype)
 
         # --- (7) PCA clean (covariance psum'd over pixels) -----------
         d2 = data.reshape(B_loc, Np * N, N)  # (B, pix_loc, Nfreq)
         mean_spec = lax.psum(jnp.sum(d2, axis=1), "space") / npix_total
         x = d2 - mean_spec[:, None, :]
         cov = lax.psum(jnp.einsum("bpf,bpg->bfg", x, x), "space") / (npix_total - 1)
-        _, vecs = jax.vmap(jnp.linalg.eigh)(cov)
-        U = vecs[:, :, ::-1][:, :, : config.pca_nmodes]  # (B, Nf, nmodes)
+        if config.pca_exact:
+            _, vecs = jax.vmap(jnp.linalg.eigh)(cov)
+            U = vecs[:, :, ::-1][:, :, : config.pca_nmodes]  # (B, Nf, nmodes)
+        else:
+            U = jax.vmap(lambda c: _subspace_from_cov(c, config.pca_nmodes))(cov)
         proj = jnp.einsum("bpf,bfm->bpm", x, U)
         fg_fit = jnp.einsum("bpm,bfm->bpf", proj, U) + mean_spec[:, None, :]
         cleaned = (d2 - fg_fit).reshape(B_loc, Np, N, N)
 
-        # --- (8) binned P(k) of the cleaned cube ---------------------
+        # --- (8) binned P(k): cleaned cube + underlying density ------
         # Half-spectrum reduction with kz multiplicity weights: exactly the
         # full-grid mean/stddev convention of box.py:696-768.
         ck = prfft3_local(cleaned, "space")
-        p3 = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
+        p_clean = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
+        p_dens = (delta_k * jnp.conj(delta_k)).real / dtype.type(boxfactor)
         idx = jnp.searchsorted(jnp.asarray(kbins, dtype), kmag_loc.ravel(),
                                side="right")
         wgt = jnp.broadcast_to(jnp.asarray(kz_weight, dtype)[None, None, :],
-                               p3.shape[1:]).ravel()
+                               p_clean.shape[1:]).ravel()
 
         def bin_one(p):
             return binned_weighted_sum_sumsq_count(p.ravel(), wgt, idx, nb)
 
-        sums, sumsqs, counts = jax.vmap(bin_one)(p3)
+        sums, sumsqs, counts = jax.vmap(bin_one)(p_clean)
         sums = lax.psum(sums, "space")
         sumsqs = lax.psum(sumsqs, "space")
         counts = lax.psum(counts, "space")
@@ -233,11 +277,23 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         var = jnp.where(counts > 1, var, 0.0)
         pk_err = jnp.sqrt(var) / jnp.sqrt(counts)
 
+        dsums, _, _ = jax.vmap(bin_one)(p_dens)
+        dsums = lax.psum(dsums, "space")
+        pk_dens = dsums / counts
+
+        # Global sigma of the data cube (matches the single-chip
+        # jnp.std(data): ddof=0 over all N^3 voxels)
+        dsum = lax.psum(jnp.sum(data, axis=(1, 2, 3)), "space")
+        dsq = lax.psum(jnp.sum(data**2, axis=(1, 2, 3)), "space")
+        dmean = dsum / N**3
+        sigma_data = jnp.sqrt(jnp.maximum(dsq / N**3 - dmean**2, 0.0))
+
         return {
             "k": jnp.asarray(kcent[1:], dtype),
             "pk_cleaned": pk_mean[:, 1:],
             "pk_cleaned_err": pk_err[:, 1:],
-            "sigma_data": jnp.std(data, axis=(1, 2, 3)),  # per-slab std (diagnostic)
+            "pk_density": pk_dens[:, 1:],
+            "sigma_data": sigma_data,
         }
 
     sharded = shard_map(
@@ -248,6 +304,7 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
             "k": P(),
             "pk_cleaned": P("ens"),
             "pk_cleaned_err": P("ens"),
+            "pk_density": P("ens"),
             "sigma_data": P("ens"),
         },
         check_vma=False,

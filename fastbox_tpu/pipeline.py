@@ -77,6 +77,12 @@ class PipelineConfig:
     include_foregrounds: bool = True
     include_noise: bool = True
     dtype: str = "float32"
+    # Noise-draw scheme: 'half' (default) draws density noise directly on
+    # the rfft half-spectrum — fastest, single-chip only.  'rows' draws
+    # every noise field per leading-axis row (parallel/rng.py), giving
+    # realisations that are IDENTICAL between the single-chip pipeline and
+    # the sharded ensemble step (any mesh shape) for the same key.
+    noise_scheme: str = "half"
 
 
 def _hi_bias(z):
@@ -171,13 +177,25 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         var = jnp.where(counts > 1, var, 0.0)
         return vals[1:], (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
 
+    if config.noise_scheme not in ("half", "rows"):
+        raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
+    rows_mode = config.noise_scheme == "rows"
+
     def fn_inner(key, amp_half, bin_idx):
+        from .parallel.rng import TAGS, row_complex_normal, row_normal
+
         (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
 
         # (1) Gaussian density field (conventions of box.py:130-194): noise
         # drawn directly on the Hermitian half-spectrum (statistics identical
-        # to the reference's full draw + .real projection).
-        white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
+        # to the reference's full draw + .real projection), or per-row in
+        # x-space (mesh-independent 'rows' scheme; costs one extra rfftn).
+        if rows_mode:
+            white = row_normal(key, TAGS["density"], 0, grid.N,
+                               (grid.N, grid.N), dtype)
+            white_h = jnp.fft.rfftn(white) * dtype.type(grid.N ** -1.5)
+        else:
+            white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
         delta_k = white_h * amp_half
         delta_x = jnp.fft.irfftn(delta_k, s=grid.shape).astype(dtype)
 
@@ -195,26 +213,41 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         vel_z = jnp.fft.irfftn(vz_k, s=grid.shape).astype(dtype)
 
         # (4) RSD remap
-        delta_s = rsd_ops.redshift_space_density(
-            delta_ln, vel_z, grid, Hz, sigma_nl=config.sigma_nl, key=k_rsd,
-            method=config.rsd_method,
-        )
+        if rows_mode and config.sigma_nl > 0.0:
+            vel_z = vel_z + dtype.type(config.sigma_nl) * row_normal(
+                key, TAGS["sigma_nl"], 0, grid.N, (grid.N, grid.N), dtype)
+            delta_s = rsd_ops.redshift_space_density(
+                delta_ln, vel_z, grid, Hz, sigma_nl=0.0,
+                method=config.rsd_method,
+            )
+        else:
+            delta_s = rsd_ops.redshift_space_density(
+                delta_ln, vel_z, grid, Hz, sigma_nl=config.sigma_nl,
+                key=k_rsd, method=config.rsd_method,
+            )
 
         # (5) signal cube in mK
         data = Tb * (1.0 + delta_s)
 
         # (6) foregrounds
         if config.include_foregrounds:
-            kf1, kf2 = jax.random.split(k_fg)
-            white2d = (jax.random.normal(kf1, (grid.N, grid.N), dtype)
-                       + 1j * jax.random.normal(kf2, (grid.N, grid.N), dtype))
+            if rows_mode:
+                white2d = row_complex_normal(
+                    key, TAGS["fg_re"], TAGS["fg_im"], 0, grid.N,
+                    (grid.N,), dtype)
+                alpha_w = row_normal(key, TAGS["alpha"], 0, grid.N,
+                                     (grid.N,), dtype)
+            else:
+                kf1, kf2 = jax.random.split(k_fg)
+                white2d = (jax.random.normal(kf1, (grid.N, grid.N), dtype)
+                           + 1j * jax.random.normal(kf2, (grid.N, grid.N),
+                                                    dtype))
+                alpha_w = jax.random.normal(k_alpha, (grid.N, grid.N), dtype)
             fg_map = ForegroundModel.foreground_amp_from_whitenoise(
                 white2d, grid, cosmology.chi, config.fg_amp, config.fg_beta,
                 config.fg_monopole, fg_sigma_pix,
             )
-            alpha_map = config.spec_idx_mean + config.spec_idx_std * (
-                jax.random.normal(k_alpha, (grid.N, grid.N), dtype)
-            )
+            alpha_map = config.spec_idx_mean + config.spec_idx_std * alpha_w
             alpha_map = gaussian_smooth_wrap(alpha_map, alpha_sigma_pix)
             fg_cube = ForegroundModel.construct_cube_fn(
                 fg_map, alpha_map, freqs_j, config.freq_ref
@@ -223,7 +256,12 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
 
         # (7) radiometer noise (fused PRNG kernel on TPU)
         if config.include_noise:
-            data = rsd_ops.add_scaled_normal(data, sigma_j, k_noise)
+            if rows_mode:
+                data = data + row_normal(key, TAGS["noise"], 0, grid.N,
+                                         (grid.N, grid.N), dtype) \
+                    * sigma_j[None, None, :]
+            else:
+                data = rsd_ops.add_scaled_normal(data, sigma_j, k_noise)
 
         # (7b) instrument response (config 3): per-channel Gaussian beam in
         # k_perp, and a k_par foreground-avoidance high-pass

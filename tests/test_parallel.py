@@ -124,3 +124,65 @@ def test_sharded_matches_single_chip_statistics(cosmo_z08):
     ratio = m_sh[sel] / m_si[sel]
     # Same physics, different noise draws: agree to within sampling scatter
     assert np.all(ratio > 0.4) and np.all(ratio < 2.5)
+
+
+def test_sharded_equals_single_chip_rows_scheme(cosmo_z08):
+    """EXACT parity: with the mesh-independent row-keyed noise scheme, the
+    sharded step and the single-device pipeline must agree on the same keys
+    to f64 tolerance, with every config field honored (beam, kpar_min,
+    sigma_nl, rsd_method, pca_exact)."""
+    grid = GridSpec.create(box_scale=(1e3, 1e3, 1e3), nsamp=16, redshift=0.8)
+    config = PipelineConfig(dtype="float64", nbins=8, noise_scheme="rows",
+                            sigma_nl=120.0, beam_dish_m=13.5, kpar_min=0.02,
+                            pca_nmodes=3)
+    mesh = make_mesh(8, space=4, grid_n=16)
+    step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, config)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)   # B=2 over ens=2
+    out_sh = step(keys)
+
+    single = make_pipeline(grid, cosmo_z08, config)
+    for i, k in enumerate(keys):
+        out_si = single(k)
+        for name in ("pk_cleaned", "pk_cleaned_err", "pk_density"):
+            a = np.asarray(out_sh[name])[i]
+            b = np.asarray(out_si[name])
+            np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-12,
+                                       equal_nan=True, err_msg=name)
+        assert np.isclose(float(np.asarray(out_sh["sigma_data"])[i]),
+                          float(np.asarray(out_si["sigma_data"])),
+                          rtol=1e-9)
+
+
+def test_sharded_equals_single_chip_alt_config(cosmo_z08):
+    """Same parity under the other config corners: nearest-neighbour RSD,
+    subspace PCA, foregrounds/noise off."""
+    grid = GridSpec.create(box_scale=(1e3, 1e3, 1e3), nsamp=16, redshift=0.8)
+    config = PipelineConfig(dtype="float64", nbins=8, noise_scheme="rows",
+                            sigma_nl=0.0, rsd_method="nearest",
+                            pca_exact=False, include_foregrounds=False,
+                            include_noise=False, pca_nmodes=2)
+    mesh = make_mesh(8, space=4, grid_n=16)
+    step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, config)
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)
+    out_sh = step(keys)
+
+    single = make_pipeline(grid, cosmo_z08, config)
+    out_si = single(keys[0])
+    np.testing.assert_allclose(np.asarray(out_sh["pk_cleaned"])[0],
+                               np.asarray(out_si["pk_cleaned"]),
+                               rtol=1e-7, atol=1e-12, equal_nan=True)
+
+
+def test_sharded_rows_scheme_mesh_independent(cosmo_z08):
+    """The row-keyed draws make results independent of the space factor."""
+    grid = GridSpec.create(box_scale=(1e3, 1e3, 1e3), nsamp=16, redshift=0.8)
+    config = PipelineConfig(dtype="float64", nbins=8, noise_scheme="rows")
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+
+    outs = []
+    for space in (2, 4):
+        mesh = make_mesh(space * 1, space=space, grid_n=16)
+        step = make_sharded_ensemble_step(mesh, grid, cosmo_z08, config)
+        outs.append(np.asarray(step(keys)["pk_cleaned"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-8, atol=1e-12,
+                               equal_nan=True)
