@@ -5,7 +5,7 @@ sklearn's Cython); GPR and least-squares component fitting are jax
 implementations of the GPy / lmfit+multiprocessing paths.
 """
 from .bandpass import angular_bandpass_filter, bandpower_pca_filter
-from .gpr import gpr_filter
+from .gpr import KernelSpec, gpr_filter
 from .ica import fastica, ica_filter
 from .kpca import kernel_pca_filter, kernel_pca_filter_legacy
 from .lsq import LSQfitting, lsq_synchrotron_fit
@@ -17,6 +17,7 @@ __all__ = [
     "bandpower_pca_filter",
     "fastica",
     "gpr_filter",
+    "KernelSpec",
     "ica_filter",
     "kernel_pca_filter",
     "kernel_pca_filter_legacy",

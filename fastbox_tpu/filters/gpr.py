@@ -1,38 +1,71 @@
 """Gaussian-process-regression foreground filter, native JAX + optax.
 
-Reference: ``fastbox.filters.gpr_filter`` (filters.py:494-595) wraps GPy with
-an RBF (foreground) + Exponential (signal) kernel, bounded hyperparameters,
-and subtracts the foreground posterior mean.  Here the same model is a small
-JAX marginal-likelihood optimisation over the (Nfreq x Nfreq) kernel matrix:
+Reference: ``fastbox.filters.gpr_filter`` (filters.py:494-595) wraps GPy
+with a user-supplied kernel list (default RBF foreground + Exponential
+signal), bounded hyperparameters, ``optimize`` + ``optimize_restarts``, and
+subtracts the posterior mean of the FIRST kernel (the foreground
+component).  Here the same model is a small JAX marginal-likelihood
+optimisation over the (Nfreq x Nfreq) kernel matrix:
 
   * frequencies normalised to [0, 1] (filters.py:553)
-  * RBF foreground kernel: variance in [1e-4, 1e2] x var(x),
-    lengthscale in [1e-3, 1e2]  (filters.py:559-563)
-  * Exponential signal kernel: variance in [1e-14, 1e-4] x var(x),
-    lengthscale in [1e-6, 1e-3]  (filters.py:565-567)
+  * kernels given as :class:`KernelSpec` entries (kind + hyperparameter
+    bounds) — the native replacement for the reference's GPy kernel list;
+    the first spec is the foreground component, like the reference
+  * default specs reproduce the reference's bounds: RBF variance in
+    [1e-4, 1e2] x var(x), lengthscale in [1e-3, 1e2]; Exponential variance
+    in [1e-14, 1e-4] x var(x), lengthscale in [1e-6, 1e-3]
+    (filters.py:559-567)
   * Gaussian noise variance (GPy's default likelihood), freely optimised
   * hyperparameters optimised by Adam on the multi-output log marginal
-    likelihood; bounds enforced by sigmoid reparameterisation.
+    likelihood from ``1 + opt_num_restarts`` random starts (the analog of
+    GPy's ``optimize_restarts``), keeping the best final likelihood;
+    bounds enforced by sigmoid reparameterisation.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["gpr_filter"]
+__all__ = ["KernelSpec", "gpr_filter"]
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
 
 
-def _rbf(nu, var, ls):
-    d2 = (nu[:, None] - nu[None, :]) ** 2
-    return var * jnp.exp(-0.5 * d2 / ls**2)
+@dataclasses.dataclass(frozen=True)
+class KernelSpec:
+    """One stationary kernel component with bounded hyperparameters.
+
+    Bounds are absolute (like GPy's ``constrain_bounded``); frequencies are
+    on the unit interval, so lengthscales are fractions of the band.
+    """
+
+    kind: str                                   # rbf|exponential|matern32|matern52|white|bias
+    variance_bounds: tuple[float, float]
+    lengthscale_bounds: tuple[float, float] = (1e-3, 1e2)
 
 
-def _exponential(nu, var, ls):
+def _kern_matrix(kind: str, nu, var, ls):
     d = jnp.abs(nu[:, None] - nu[None, :])
-    return var * jnp.exp(-d / ls)
+    if kind == "rbf":
+        return var * jnp.exp(-0.5 * (d / ls) ** 2)
+    if kind == "exponential":
+        return var * jnp.exp(-d / ls)
+    if kind == "matern32":
+        r = _SQRT3 * d / ls
+        return var * (1.0 + r) * jnp.exp(-r)
+    if kind == "matern52":
+        r = _SQRT5 * d / ls
+        return var * (1.0 + r + r**2 / 3.0) * jnp.exp(-r)
+    if kind == "white":
+        return var * jnp.eye(nu.size, dtype=nu.dtype)
+    if kind == "bias":
+        return var * jnp.ones((nu.size, nu.size), nu.dtype)
+    raise ValueError(f"Unknown GPR kernel kind '{kind}'")
 
 
 def _bounded(theta, lo, hi):
@@ -40,86 +73,126 @@ def _bounded(theta, lo, hi):
     return jnp.exp(jnp.log(lo) + jax.nn.sigmoid(theta) * (jnp.log(hi) - jnp.log(lo)))
 
 
-@partial(jax.jit, static_argnames=("nsteps",))
-def _fit_gpr(x, bounds, nsteps: int = 500, lr: float = 0.05):
-    """x: (Nfreq, Npix).  Returns optimised (raw params, final loss)."""
+@partial(jax.jit, static_argnames=("kinds", "nsteps", "nstarts"))
+def _fit_gpr(x, bounds, kinds: tuple[str, ...], nsteps: int = 500,
+             lr: float = 0.05, nstarts: int = 1, key=None):
+    """x: (Nfreq, Npix); bounds: (2*nk+1, 2) [var_i, ls_i ..., noise].
+
+    Runs ``nstarts`` independent Adam fits and returns the raw parameter
+    vector with the best (lowest) final negative log marginal likelihood.
+    """
     nfreq, npix = x.shape
     nu = jnp.linspace(0.0, 1.0, nfreq, dtype=x.dtype)
+    nk = len(kinds)
 
     def unpack(theta):
-        vf = _bounded(theta[0], bounds[0][0], bounds[0][1])
-        lf = _bounded(theta[1], bounds[1][0], bounds[1][1])
-        vs = _bounded(theta[2], bounds[2][0], bounds[2][1])
-        ls = _bounded(theta[3], bounds[3][0], bounds[3][1])
-        vn = _bounded(theta[4], bounds[4][0], bounds[4][1])
-        return vf, lf, vs, ls, vn
+        vals = [_bounded(theta[i], bounds[i, 0], bounds[i, 1])
+                for i in range(2 * nk + 1)]
+        return vals
+
+    def build_K(theta):
+        p = unpack(theta)
+        K = p[-1] * jnp.eye(nfreq, dtype=x.dtype)   # noise
+        for i, kind in enumerate(kinds):
+            K = K + _kern_matrix(kind, nu, p[2 * i], p[2 * i + 1])
+        return K
 
     def neg_log_marginal(theta):
-        vf, lf, vs, ls, vn = unpack(theta)
-        K = _rbf(nu, vf, lf) + _exponential(nu, vs, ls) \
-            + vn * jnp.eye(nfreq, dtype=x.dtype)
-        L = jnp.linalg.cholesky(K)
+        L = jnp.linalg.cholesky(build_K(theta))
         alpha = jax.scipy.linalg.cho_solve((L, True), x)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         return 0.5 * (jnp.sum(x * alpha) + npix * logdet)
 
-    theta0 = jnp.zeros(5, dtype=x.dtype)
     opt = optax.adam(lr)
-    state = opt.init(theta0)
 
-    def step(carry, _):
-        theta, state = carry
-        loss, g = jax.value_and_grad(neg_log_marginal)(theta)
-        updates, state = opt.update(g, state)
-        return (optax.apply_updates(theta, updates), state), loss
+    def fit_one(theta0):
+        def step(carry, _):
+            theta, state = carry
+            loss, g = jax.value_and_grad(neg_log_marginal)(theta)
+            updates, state = opt.update(g, state)
+            return (optax.apply_updates(theta, updates), state), loss
 
-    (theta, _), losses = jax.lax.scan(step, (theta0, state), None, length=nsteps)
-    return theta, unpack(theta), losses[-1]
+        (theta, _), losses = jax.lax.scan(step, (theta0, opt.init(theta0)),
+                                          None, length=nsteps)
+        return theta, losses[-1]
+
+    nparam = 2 * nk + 1
+    theta0s = jnp.zeros((1, nparam), dtype=x.dtype)
+    if nstarts > 1:
+        key = jax.random.PRNGKey(0) if key is None else key
+        extra = jax.random.uniform(key, (nstarts - 1, nparam), x.dtype,
+                                   minval=-3.0, maxval=3.0)
+        theta0s = jnp.concatenate([theta0s, extra], axis=0)
+    thetas, losses = jax.vmap(fit_one)(theta0s)
+    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    return thetas[best], losses[best]
 
 
 def gpr_filter(field, kernels=None, return_filter: bool = False,
                opt_messages: bool = False, opt_num_restarts: int = 0,
-               nsteps: int = 500):
+               nsteps: int = 500, key=None):
     """GPR foreground clean of a (Nx, Ny, Nfreq) datacube (filters.py:494-595).
 
-    Subtracts the RBF (foreground) posterior mean; the Exponential component
-    and noise stay in the residual.
+    Parameters:
+        field: datacube; frequency is the last axis.
+        kernels: list of :class:`KernelSpec`.  The FIRST spec is the
+            foreground component whose posterior mean is subtracted, like
+            the reference's GPy kernel list (filters.py:508-518,584-586).
+            None selects the reference's default RBF+Exponential pair with
+            its variance bounds scaled by ``var(x)``.
+        opt_num_restarts: extra random optimizer starts beyond the default
+            deterministic one (GPy ``optimize_restarts`` analog).
+        nsteps: Adam steps per start.
+        key: PRNG key for restart initialisation (seeded default).
 
-    ``kernels``, ``opt_messages`` and ``opt_num_restarts`` exist for
-    signature parity with the reference's GPy wrapper; custom GPy kernel
-    objects cannot be consumed here (the RBF+Exponential default — the
-    reference's own default — is always used), and the Adam optimiser does
-    not restart.
+    Returns the residual ``x - posterior_mean_fg`` reshaped to the cube
+    (and optionally the fitted hyperparameters).
     """
-    if kernels is not None:
-        raise NotImplementedError(
-            "custom GPy kernels are not supported; the default "
-            "RBF(foreground) + Exponential(signal) model is used")
-    del opt_messages, opt_num_restarts
+    if opt_messages:
+        print(f"gpr_filter: {1 + opt_num_restarts} starts x {nsteps} Adam steps")
     shape = field.shape
     d = field.reshape((-1, shape[-1])).T        # (Nfreq, Npix)
     x = d - jnp.mean(d, axis=1, keepdims=True)
-    var = jnp.var(x)
+    var = float(jnp.var(x))
 
-    bounds = (
-        (1e-4 * var, 1e2 * var),   # fg variance
-        (1e-3, 1e2),               # fg lengthscale
-        (1e-14 * var, 1e-4 * var), # signal variance
-        (1e-6, 1e-3),              # signal lengthscale
-        (1e-8 * var, 1e2 * var),   # noise variance
-    )
-    _, params, _ = _fit_gpr(x, bounds, nsteps=nsteps)
-    vf, lf, vs, ls, vn = params
+    if kernels is None:
+        kernels = [
+            KernelSpec("rbf", (1e-4 * var, 1e2 * var), (1e-3, 1e2)),
+            KernelSpec("exponential", (1e-14 * var, 1e-4 * var), (1e-6, 1e-3)),
+        ]
+    for k in kernels:
+        if not isinstance(k, KernelSpec):
+            raise TypeError(
+                "kernels must be KernelSpec instances (the native analog of "
+                "the reference's GPy kernel list); got "
+                f"{type(k).__name__}")
+
+    kinds = tuple(k.kind for k in kernels)
+    bounds_rows = []
+    for k in kernels:
+        bounds_rows.append(k.variance_bounds)
+        bounds_rows.append(k.lengthscale_bounds)
+    bounds_rows.append((1e-8 * var, 1e2 * var))   # noise variance
+    bounds = jnp.asarray(bounds_rows, dtype=x.dtype)
+
+    theta, _ = _fit_gpr(x, bounds, kinds, nsteps=nsteps,
+                        nstarts=1 + int(opt_num_restarts), key=key)
+    params = [float(_bounded(theta[i], bounds[i, 0], bounds[i, 1]))
+              for i in range(bounds.shape[0])]
 
     nfreq = shape[-1]
     nu = jnp.linspace(0.0, 1.0, nfreq, dtype=x.dtype)
-    K_fg = _rbf(nu, vf, lf)
-    K_tot = K_fg + _exponential(nu, vs, ls) + vn * jnp.eye(nfreq, dtype=x.dtype)
-    # Foreground posterior mean: K_fg K_tot^-1 x
+    K_fg = _kern_matrix(kinds[0], nu, params[0], params[1])
+    K_tot = params[-1] * jnp.eye(nfreq, dtype=x.dtype)
+    for i, kind in enumerate(kinds):
+        K_tot = K_tot + _kern_matrix(kind, nu, params[2 * i], params[2 * i + 1])
+    # Foreground posterior mean: K_fg K_tot^-1 x (include_likelihood=False)
     L = jnp.linalg.cholesky(K_tot)
     x_fg = K_fg @ jax.scipy.linalg.cho_solve((L, True), x)
 
     cleaned = (x - x_fg).T.reshape(shape)
     if return_filter:
-        return cleaned, params
+        return cleaned, dict(zip(
+            [f"{kinds[i//2]}_{'var' if i % 2 == 0 else 'ls'}"
+             for i in range(2 * len(kinds))] + ["noise_var"], params))
     return cleaned

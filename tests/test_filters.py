@@ -78,12 +78,63 @@ def test_nmf_filter_reduces_foregrounds(rng):
     assert np.sqrt(np.mean(cleaned**2)) < 0.05 * np.sqrt(np.mean(cube**2))
 
 
-def test_kpca_linear_reduces_foregrounds(rng):
+def test_kpca_legacy_reduces_foregrounds(rng):
     cube = _mock_cube(rng, n=8)
-    cleaned = np.asarray(filters.kernel_pca_filter(jnp.asarray(cube), 3))
+    cleaned = np.asarray(filters.kernel_pca_filter_legacy(jnp.asarray(cube), 3))
     d = cube.reshape(-1, cube.shape[-1]).T
     x = d - d.mean(axis=1, keepdims=True)
     assert np.sqrt(np.mean(cleaned**2)) < 0.5 * np.sqrt(np.mean(x**2))
+
+
+def _sklearn_kpca(cube, nmodes, **kw):
+    """sklearn KernelPCA fit on the mean-subtracted (Npix, Nfreq) samples."""
+    from sklearn.decomposition import KernelPCA
+
+    d = cube.reshape(-1, cube.shape[-1]).T
+    x = d - d.mean(axis=1, keepdims=True)
+    tr = KernelPCA(n_components=nmodes, fit_inverse_transform=True, **kw)
+    x_trans = tr.fit_transform(x.T)
+    return x, x_trans, tr
+
+
+def test_kpca_legacy_matches_sklearn(rng):
+    """Legacy variant == sklearn fit/inverse_transform/subtract
+    (reference filters.py:309-370)."""
+    cube = _mock_cube(rng, n=8)
+    for kw, ours_kw in [({"kernel": "linear"}, {"kernel": "linear"}),
+                        ({"kernel": "rbf", "gamma": 0.3},
+                         {"kernel": "rbf", "gamma": 0.3})]:
+        x, x_trans, tr = _sklearn_kpca(cube, 3, **kw)
+        want = (x - tr.inverse_transform(x_trans).T).T.reshape(cube.shape)
+        got = np.asarray(filters.kernel_pca_filter_legacy(
+            jnp.asarray(cube), 3, **ours_kw))
+        scale = np.sqrt(np.mean(x**2))
+        assert np.allclose(got, want, atol=1e-8 * scale), kw
+
+
+def test_kpca_nonlegacy_matches_reference_math(rng):
+    """Non-legacy variant == the reference's manual smallest-retained-mode
+    inverse transform (filters.py:294-300), oracled via sklearn internals."""
+    cube = _mock_cube(rng, n=8)
+    for kw in [{"kernel": "linear"}, {"kernel": "rbf", "gamma": 0.3}]:
+        x, x_trans, tr = _sklearn_kpca(cube, 3, **kw)
+        # Reference lines 296-300 (modern sklearn names: alphas_ ->
+        # eigenvectors_, lambdas_ -> eigenvalues_)
+        X = tr.eigenvectors_[:, -1:] * np.sqrt(tr.eigenvalues_[-1:])
+        K = tr._get_kernel(X, tr.X_transformed_fit_[:, -1:])
+        n_samples = tr.X_transformed_fit_.shape[0]
+        K.flat[::n_samples + 1] += tr.alpha
+        want = np.dot(K, tr.dual_coef_).reshape(cube.shape)
+        got = np.asarray(filters.kernel_pca_filter(jnp.asarray(cube), 3, **kw))
+        scale = np.sqrt(np.mean(x**2))
+        assert np.allclose(got, want, atol=1e-7 * scale), kw
+
+
+def test_kpca_variants_distinct(rng):
+    cube = _mock_cube(rng, n=8)
+    leg = np.asarray(filters.kernel_pca_filter_legacy(jnp.asarray(cube), 3))
+    non = np.asarray(filters.kernel_pca_filter(jnp.asarray(cube), 3))
+    assert not np.allclose(leg, non)
 
 
 def test_angular_bandpass_filter(rng):
@@ -113,6 +164,60 @@ def test_gpr_filter_removes_smooth_component(rng):
     x = d - d.mean(axis=1, keepdims=True)
     # The smooth FG dominates x; GPR should strip most of it
     assert np.sqrt(np.mean(cleaned**2)) < 0.5 * np.sqrt(np.mean(x**2))
+
+
+def test_gpr_filter_custom_kernels_and_restarts(rng):
+    """Structured kernel specs + optimizer restarts (reference
+    filters.py:508-518, 580-581: GPy kernel list + optimize_restarts)."""
+    cube = _mock_cube(rng, n=6, nfreq=24)
+    d = cube.reshape(-1, cube.shape[-1]).T
+    x = d - d.mean(axis=1, keepdims=True)
+    var = float(np.var(x))
+    specs = [
+        filters.KernelSpec("matern52", (1e-4 * var, 1e2 * var), (1e-3, 1e2)),
+        filters.KernelSpec("exponential", (1e-14 * var, 1e-4 * var),
+                           (1e-6, 1e-3)),
+    ]
+    cleaned, params = filters.gpr_filter(
+        jnp.asarray(cube), kernels=specs, opt_num_restarts=2, nsteps=200,
+        return_filter=True)
+    assert np.sqrt(np.mean(np.asarray(cleaned) ** 2)) \
+        < 0.5 * np.sqrt(np.mean(x**2))
+    assert set(params) == {"matern52_var", "matern52_ls", "exponential_var",
+                           "exponential_ls", "noise_var"}
+    # The fitted FG variance must respect its bounds
+    assert 1e-4 * var <= params["matern52_var"] <= 1e2 * var
+
+    # Non-spec kernels are rejected loudly (no silent fallback)
+    import pytest
+
+    with pytest.raises(TypeError):
+        filters.gpr_filter(jnp.asarray(cube), kernels=["rbf"])
+
+
+def test_fastica_unmixes_known_sources(rng):
+    """Direct FastICA validation: recover 3 independent non-Gaussian
+    sources from a random mixture, up to permutation and sign."""
+    nsamp = 4000
+    s1 = np.sign(rng.standard_normal(nsamp))          # Bernoulli +-1
+    s2 = rng.uniform(-np.sqrt(3), np.sqrt(3), nsamp)  # uniform
+    s3 = rng.laplace(0.0, 1.0 / np.sqrt(2.0), nsamp)  # Laplace
+    S = np.stack([s1, s2, s3])                        # (3, nsamp), unit var
+    A = rng.standard_normal((3, 3)) + 3.0 * np.eye(3) # well-conditioned mix
+    X = A @ S                                         # (features, samples)
+
+    W, K, mean = filters.fastica(jnp.asarray(X), jax.random.PRNGKey(3),
+                                 n_components=3, max_iter=500)
+    rec = np.asarray((W @ K) @ (jnp.asarray(X) - mean))  # recovered sources
+
+    # Correlation matrix between recovered and true sources must be a
+    # signed permutation: every true source matched by exactly one
+    # recovered component with |corr| ~ 1.
+    C = np.corrcoef(np.vstack([rec, S]))[:3, 3:]      # (rec, true)
+    best = np.abs(C).max(axis=0)
+    assert (best > 0.95).all(), C
+    # One-to-one: each recovered component claims a distinct true source
+    assert sorted(np.abs(C).argmax(axis=1)) == [0, 1, 2], C
 
 
 def test_lsq_synchrotron_fit_recovers_params(rng):
