@@ -104,13 +104,92 @@ def _region_adjacency(labels):
     return pairs
 
 
+def _regular_seed_array(shape, n_points):
+    """~``n_points`` seed labels on a regular grid (skimage's int-markers
+    semantics: ``watershed(f, markers=<int>)`` seeds a regular grid via
+    ``util.regular_seeds``, not local minima — the reference docstring's
+    "placed in local minima" describes markers=None, not the int case)."""
+    size = int(np.prod(shape))
+    step = max(int(round((size / max(n_points, 1)) ** (1.0 / len(shape)))), 1)
+    seeds = np.zeros(shape, dtype=np.int64)
+    grid = tuple(slice(step // 2, None, step) for _ in shape)
+    seeds[grid] = np.arange(1, seeds[grid].size + 1).reshape(seeds[grid].shape)
+    return seeds
+
+
+def _marker_watershed(f, mask, markers):
+    """Marker-controlled watershed at region granularity.
+
+    Basins are computed by the device steepest-descent kernel; marker labels
+    are then flooded over the region-adjacency graph in order of saddle
+    altitude (minimax paths), which reproduces watershed-by-flooding
+    semantics whenever each basin holds at most one marker.  A basin holding
+    several markers takes the deepest one (documented approximation — exact
+    sub-basin splitting needs per-voxel flooding order).  Unreached basins
+    (no marked flood arrives) stay 0, like skimage.
+    """
+    import heapq
+
+    basins = watershed_labels(f, mask)                 # 1..R, 0 = masked
+    nlab = int(basins.max()) + 1
+    basin_label = np.zeros(nlab, dtype=np.int64)
+
+    mk = np.where(mask, markers, 0)
+    sel = np.nonzero(mk)
+    if sel[0].size:
+        order = np.argsort(f[sel])[::-1]               # shallowest first
+        for b, l in zip(basins[sel][order], mk[sel][order]):
+            basin_label[b] = l                         # deepest marker wins
+
+    # Region graph with saddle altitudes: min over the shared boundary of
+    # max(f_a, f_b)
+    saddle = {}
+    for axis in range(3):
+        a = np.swapaxes(basins, 0, axis)[:-1]
+        b = np.swapaxes(basins, 0, axis)[1:]
+        fa = np.swapaxes(f, 0, axis)[:-1]
+        fb = np.swapaxes(f, 0, axis)[1:]
+        edge = (a != b) & (a > 0) & (b > 0)
+        hi = np.maximum(fa[edge], fb[edge])
+        lo_l = np.minimum(a[edge], b[edge])
+        hi_l = np.maximum(a[edge], b[edge])
+        for i, j, h in zip(lo_l.tolist(), hi_l.tolist(), hi.tolist()):
+            key = (i, j)
+            if h < saddle.get(key, np.inf):
+                saddle[key] = h
+    adj = {}
+    for (i, j), h in saddle.items():
+        adj.setdefault(i, []).append((j, h))
+        adj.setdefault(j, []).append((i, h))
+
+    # Minimax flood from the marked basins
+    pq = [(-np.inf, int(b)) for b in range(1, nlab) if basin_label[b]]
+    heapq.heapify(pq)
+    reached = {b: -np.inf for _, b in pq}
+    while pq:
+        h, b = heapq.heappop(pq)
+        if h > reached.get(b, np.inf):
+            continue
+        for nb, sh in adj.get(b, []):
+            nh = max(h, sh)
+            if basin_label[nb] == 0 or nh < reached.get(nb, np.inf):
+                if basin_label[nb] == 0:
+                    basin_label[nb] = basin_label[b]
+                    reached[nb] = nh
+                    heapq.heappush(pq, (nh, nb))
+
+    return basin_label[basins]
+
+
 def apply_watershed(field, markers=None, mask_threshold=0.0,
                     merge_threshold=0.2, verbose=True):
     """Watershed void finder with RAG mean-density merging (voids.py:139-203).
 
-    Parameters match the reference; ``markers`` is accepted for API parity
-    but ignored (seeds are always the local minima, which is skimage's own
-    default when markers=None).
+    ``markers`` follows the reference/skimage contract: None seeds every
+    local minimum; an int seeds ~that many points on a regular grid; an
+    integer array supplies explicit seed labels.  Marked floods are
+    propagated by region-graph minimax flooding (see
+    :func:`_marker_watershed`).
     """
     import time as _time
 
@@ -131,7 +210,18 @@ def apply_watershed(field, markers=None, mask_threshold=0.0,
     if verbose:
         print("Running watershed algorithm")
     t0 = _time.time()
-    labels = watershed_labels(f, mask)
+    if markers is None:
+        labels = watershed_labels(f, mask)
+    else:
+        if np.isscalar(markers):
+            markers = _regular_seed_array(f.shape, int(markers))
+        else:
+            markers = np.asarray(markers)
+            if markers.shape != f.shape:
+                raise ValueError(
+                    f"markers array shape {markers.shape} != field shape "
+                    f"{f.shape}")
+        labels = _marker_watershed(f, mask, markers)
     nreg = np.unique(labels).size
     if verbose:
         print("Watershed took %2.2f sec" % (_time.time() - t0))
