@@ -249,3 +249,129 @@ def test_zernike_beam():
     assert np.allclose(z2, x, atol=1e-12)
     # Outside the unit disc -> 0
     assert beams_mod.zernike_eval([1.0], np.array([1.5]), np.array([0.0]))[0] == 0.0
+
+
+# ----------------------------------------------------------------------
+# Planck Sky Model (pure math + stub-healpy geometry)
+# ----------------------------------------------------------------------
+def test_planck_corr_math():
+    """T_CMB -> T_RJ correction (reference foregrounds.py:483-497)."""
+    from fastbox_tpu.constants import CMB_TEMP, H_PLANCK, KBOLTZ
+    from fastbox_tpu.models.foregrounds import PlanckSkyModel
+
+    # Rayleigh-Jeans limit: x = h nu / (k T) -> 0 gives corr -> 1, with the
+    # independent small-x expansion corr = 1 + x^2/12 + O(x^4)
+    for ghz in (0.05, 0.5, 2.0):
+        x = H_PLANCK * ghz * 1e9 / (KBOLTZ * CMB_TEMP)
+        got = PlanckSkyModel.planck_corr(ghz)
+        assert np.isclose(got, 1.0 + x**2 / 12.0, rtol=1e-5), ghz
+    # Monotonic growth toward the Wien side; sane magnitudes at the two
+    # Planck bands the model ingests
+    c217 = PlanckSkyModel.planck_corr(217.0)
+    c353 = PlanckSkyModel.planck_corr(353.0)
+    assert 1.0 < c217 < c353
+    # Direct evaluation cross-check with scipy's CODATA constants
+    import scipy.constants as sc
+
+    x = sc.h * 217e9 / (sc.k * CMB_TEMP)
+    want = (np.exp(x) - 1.0) ** 2 / (x**2 * np.exp(x))
+    assert np.isclose(c217, want, rtol=1e-3)
+
+
+def test_planck_assemble_cube_matches_numpy(rng):
+    from fastbox_tpu.models.foregrounds import PlanckSkyModel
+
+    n, nf = 6, 9
+    sync = 10.0 + rng.random((n, n))
+    free = 2.0 + rng.random((n, n))
+    sidx = -3.0 + 0.1 * rng.standard_normal((n, n))
+    freqs = np.linspace(400.0, 800.0, nf)
+    got = np.asarray(PlanckSkyModel.assemble_cube(
+        jnp.asarray(sync), jnp.asarray(free), jnp.asarray(sidx),
+        jnp.asarray(freqs), 1000.0, -2.1))
+    x = freqs / 1000.0
+    want = (sync[:, :, None] * x[None, None, :] ** sidx[:, :, None]
+            + free[:, :, None] * x[None, None, :] ** (-2.1))
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def _healpy_stub(nside, rng):
+    """Minimal fake healpy exposing what PlanckSkyModel touches."""
+    import types
+
+    npix = 12 * nside**2
+    maps = {
+        "ff217": 1.0 + rng.random(npix),
+        "sync217": 5.0 + rng.random(npix),
+        "sync353": 2.0 + rng.random(npix),
+    }
+    calls = {"gnomview": []}
+    hp = types.ModuleType("healpy")
+    hp._maps = maps
+    hp._calls = calls
+    hp.get_nside = lambda m: int(np.sqrt(m.size / 12))
+    resol_arcmin = np.degrees(np.sqrt(4.0 * np.pi / npix)) * 60.0
+    hp.nside2resol = lambda ns, arcmin=False: (
+        resol_arcmin if arcmin else np.radians(resol_arcmin / 60.0))
+
+    hp.fitsfunc = types.SimpleNamespace(
+        read_map=lambda path, field=0, nest=False: maps[path])
+    hp.sphtfunc = types.SimpleNamespace(
+        synfast=lambda cls, ns: np.zeros(12 * ns**2))
+
+    def gnomview(m, **kw):
+        calls["gnomview"].append(kw)
+        xs, ys = kw["xsize"], kw["ysize"]
+        return m[: xs * ys].reshape(ys, xs)
+
+    hp.visufunc = types.SimpleNamespace(gnomview=gnomview)
+    return hp
+
+
+def test_planck_sky_model_stubbed_geometry(rng, monkeypatch):
+    """Exercise the healpy-gated projection path end to end with a stub,
+    checking map/cube shapes and the mK conversion (foregrounds.py:523-681)."""
+    import sys
+
+    from fastbox_tpu.models.foregrounds import PlanckSkyModel
+
+    hp = _healpy_stub(nside=8, rng=rng)
+    monkeypatch.setitem(sys.modules, "healpy", hp)
+
+    box = _box(n=8)
+    psm = PlanckSkyModel(box, planck_sim_paths={
+        "ff217": "ff217", "sync217": "sync217", "sync353": "sync353"})
+
+    sync_amp, free_amp, sync_idx = psm.synch_freefree_maps(seed_syncidx=0)
+    assert sync_amp.shape == free_amp.shape == sync_idx.shape == (8, 8)
+    assert np.isfinite(sync_amp).all() and np.isfinite(free_amp).all()
+    # Amplitude maps come back in mK (x1e3); the index map does not
+    assert (sync_amp > 0).all() and (free_amp > 0).all()
+    # Expected synch index from the stub maps INCLUDING the T_CMB -> T_RJ
+    # correction applied at read time (foregrounds.py:483-520): the 353 GHz
+    # band is divided by a ~4x larger correction than 217 GHz, steepening
+    # the raw [2,3]/[5,6] map ratio
+    c217 = PlanckSkyModel.planck_corr(217.0)
+    c353 = PlanckSkyModel.planck_corr(353.0)
+    exp_idx = (np.log((hp._maps["sync353"] / c353)
+                      / (hp._maps["sync217"] / c217))
+               / np.log(353.0 / 217.0))
+    # (cubic-spline resampling in project() can over/undershoot a little)
+    assert exp_idx.min() - 1.0 < sync_idx.mean() < exp_idx.max() + 1.0
+
+    # Projection geometry: gnomview asked for the rotation we passed and a
+    # projected patch wide enough for the 54.1 deg field at map resolution
+    kw = hp._calls["gnomview"][0]
+    assert kw["rot"] == (0.0, -62.0, 0.0)
+    resol = hp.nside2resol(8, arcmin=True)
+    assert kw["xsize"] == int(np.ceil(54.1 * 60.0 / resol))
+
+    cube = np.asarray(psm.construct_cube(seed_syncidx=0))
+    assert cube.shape == (8, 8, 8)
+    assert np.isfinite(cube).all() and (cube > 0).all()
+    # The cube must equal the pure-math assembly of the same maps
+    freqs = box.freq_array()
+    want = np.asarray(PlanckSkyModel.assemble_cube(
+        jnp.asarray(sync_amp), jnp.asarray(free_amp), jnp.asarray(sync_idx),
+        jnp.asarray(freqs), 1000.0, psm.free_idx))
+    assert np.allclose(cube, want, rtol=1e-12)
