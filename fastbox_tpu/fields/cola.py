@@ -108,7 +108,8 @@ def _kick_drift_integrals(params, a1, a2):
 def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          redshift_init: float = 15.0, n_steps: int | None = None,
                          dtype=jnp.float32, keep_velocities: bool = True,
-                         force_factor: int = 1, lattice_B: int | None = 2):
+                         force_factor: int = 1, lattice_B: int | None = 2,
+                         diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
     Parameters mirror the reference's ``realise_density_cola``
@@ -125,10 +126,18 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     checked at runtime per force evaluation, with a ``lax.cond`` fallback
     to the scatter path.  ``None`` disables.
 
+    With ``diagnostics=True`` a third return value carries per-step probe
+    arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
+    each force evaluation), ``frac_out`` (fraction of displacement
+    components beyond ``lattice_B``) and ``used_lattice`` (which cond
+    branch the engine took) — the instrumentation for the 256^3 growth
+    puzzle (CLAUDE.md).
+
     Returns:
-        (delta_x, vel) where delta_x is the CIC density contrast on the grid
-        and vel is a (3, N, N, N) grid of CIC-averaged peculiar velocities in
-        km/s (zeros where empty) if ``keep_velocities``, else None.
+        (delta_x, vel[, diag]) where delta_x is the CIC density contrast on
+        the grid and vel is a (3, N, N, N) grid of CIC-averaged peculiar
+        velocities in km/s (zeros where empty) if ``keep_velocities``,
+        else None.
     """
     assert grid.Lx == grid.Ly == grid.Lz, "COLA requires a cubic box"
     dtype = jnp.dtype(dtype)
@@ -193,13 +202,15 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
 
     evolve = _build_evolve(grid, int(force_factor),
                            None if lattice_B is None else int(lattice_B),
-                           dtype.name, bool(keep_velocities))
+                           dtype.name, bool(keep_velocities),
+                           bool(diagnostics))
     return evolve(q, p1, p2, step_consts, scal)
 
 
 @lru_cache(maxsize=8)
 def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
-                  dtype_name: str, keep_velocities: bool):
+                  dtype_name: str, keep_velocities: bool,
+                  diagnostics: bool = False):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime
@@ -215,7 +226,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
     # and every wrapped displacement fits the static bound — checked per
     # call, with a lax.cond fallback to the exact scatter path.
     use_lattice = (force_factor == 1 and lattice_B is not None)
-    if use_lattice:
+    if use_lattice or diagnostics:
         from .lattice_cic import (cic_gather_lattice, cic_paint_lattice,
                                   wrapped_displacement)
 
@@ -267,15 +278,29 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
 
         def pm_force(x, a):
             u = x / cell_f
+            diag = None
             if use_lattice:
                 d = wrapped_displacement(u.reshape(N, N, N, 3), N)
-                ok = jnp.max(jnp.abs(d)) <= dtype.type(lattice_B)
+                maxd = jnp.max(jnp.abs(d))
+                ok = maxd <= dtype.type(lattice_B)
+                if diagnostics:
+                    frac = jnp.mean(
+                        (jnp.abs(d) > dtype.type(lattice_B)).astype(dtype))
+                    diag = (maxd, frac, ok)
                 rho = lax.cond(
                     ok,
                     lambda _: cic_paint_lattice(d, B=lattice_B),
                     lambda _: cic_paint_particles(u, Nf),
                     None)
             else:
+                if diagnostics:
+                    d_p = wrapped_displacement((x / cell).reshape(N, N, N, 3),
+                                               N)
+                    bref = dtype.type(lattice_B if lattice_B is not None
+                                      else 2)
+                    diag = (jnp.max(jnp.abs(d_p)),
+                            jnp.mean((jnp.abs(d_p) > bref).astype(dtype)),
+                            jnp.asarray(False))
                 rho = cic_paint_particles(u, Nf)
             delta = rho / mean_per_cell - 1.0
             dk = jnp.fft.rfftn(delta)
@@ -301,24 +326,24 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                     return jnp.stack(
                         [cic_gather(F, u) for F in (Fx, Fy, Fz)], axis=-1)
 
-                return lax.cond(ok, g_lat, g_sc, None)
+                return lax.cond(ok, g_lat, g_sc, None), diag
             return jnp.stack([
                 cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
-            ], axis=-1)
+            ], axis=-1), diag
 
         def step(carry, consts):
             x, v = carry
             K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
-            F = pm_force(x, a_f)
+            F, diag = pm_force(x, a_f)
             # COLA compensation: subtract the LPT acceleration
             comp = (fac_pm / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
             Fres = F - comp
             v = v + Fres * (K1 + K2)
             x = x + v * Dr + dD1_ * p1 + dD2_ * p2
             x = jnp.mod(x, dtype.type(grid.Lx))
-            return (x, v), None
+            return (x, v), diag
 
-        (x, v), _ = jax.lax.scan(step, (x, v), step_consts)
+        (x, v), diags = jax.lax.scan(step, (x, v), step_consts)
 
         u = x / cell
         if use_lattice:
@@ -345,7 +370,20 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
         comp_k = compensation(grid, "cic", dtype)[..., : N // 2 + 1]
         delta_x = jnp.fft.irfftn(jnp.fft.rfftn(rho - 1.0) * comp_k,
                                  s=(N, N, N)).astype(dtype)
+
+        diag_out = None
+        if diagnostics:
+            maxds, fracs, used = diags
+            diag_out = {
+                "maxdisp": maxds, "frac_out": fracs,
+                "used_lattice": used,
+                "final_maxdisp": jnp.max(jnp.abs(
+                    wrapped_displacement((x / cell).reshape(N, N, N, 3), N))),
+            }
+
         if not keep_velocities:
+            if diagnostics:
+                return delta_x, None, diag_out
             return delta_x, None
         # Total momentum = LPT part at a_final + residual; v_pec = p/a (km/s)
         p_tot = v + pfac1 * p1 + pfac2 * p2
@@ -354,6 +392,8 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             m = paint_fin(p_tot[:, comp])
             vel_grids.append(jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10), 0.0)
                              * inv_a_final)
+        if diagnostics:
+            return delta_x, jnp.stack(vel_grids), diag_out
         return delta_x, jnp.stack(vel_grids)
 
     return evolve

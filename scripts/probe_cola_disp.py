@@ -1,0 +1,87 @@
+"""COLA displacement probe — the 256^3 growth-suppression puzzle (CLAUDE.md).
+
+Runs the *shipped, validated* engine (lattice CIC + exact-scatter cond
+fallback) with diagnostics on, logging per force evaluation:
+
+  * max wrapped Lagrangian displacement (cells)
+  * fraction of displacement components beyond ``lattice_B``
+  * which cond branch actually ran (lattice vs exact scatter)
+
+plus the end-state health check (large-scale P(k)/P_lin, field std).  The
+hypothesis under test: at 256^3/4Gpc the late steps genuinely exceed every
+tested band, so lattice-only reworks (any B in 2..6) mishandle the
+out-of-band particles while the healthy engine silently falls back to the
+exact scatter path.
+
+Run on the TPU from the repo root (no PYTHONPATH):
+    python scripts/probe_cola_disp.py --nsamp 256 --box 4000
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path.home() / ".cache/jax_fastbox"))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nsamp", type=int, default=256)
+    p.add_argument("--box", type=float, default=4000.0)
+    p.add_argument("--lattice-B", type=int, default=2)
+    p.add_argument("--no-lattice", action="store_true",
+                   help="probe the pure scatter engine instead")
+    p.add_argument("--redshift", type=float, default=0.0)
+    p.add_argument("--redshift-init", type=float, default=15.0)
+    p.add_argument("--seed", type=int, default=1)
+    args = p.parse_args()
+
+    from fastbox_tpu.cosmology import build_cosmology
+    from fastbox_tpu.fields.cola import realise_density_cola
+    from fastbox_tpu.grid import GridSpec
+    from fastbox_tpu.ops.spectra import binned_power_spectrum
+
+    cosmo = build_cosmology(dict(Omega_c=0.25, Omega_b=0.05, h=0.7,
+                                 n_s=0.95, sigma8=0.8),
+                            redshift=args.redshift)
+    grid = GridSpec.create(box_scale=(args.box,) * 3, nsamp=args.nsamp,
+                           redshift=args.redshift)
+
+    t0 = time.time()
+    delta, _, diag = realise_density_cola(
+        jax.random.PRNGKey(args.seed), grid, cosmo,
+        redshift_init=args.redshift_init, keep_velocities=False,
+        lattice_B=None if args.no_lattice else args.lattice_B,
+        diagnostics=True)
+    delta.block_until_ready()
+    print(f"# evolve ({args.nsamp}^3, {args.box:.0f} Mpc, "
+          f"z {args.redshift_init} -> {args.redshift}) "
+          f"in {time.time() - t0:.1f}s", flush=True)
+
+    maxd = np.asarray(diag["maxdisp"])
+    frac = np.asarray(diag["frac_out"])
+    used = np.asarray(diag["used_lattice"])
+    for i in range(maxd.size):
+        branch = "lattice" if used[i] else "scatter"
+        print(f"step {i:2d}: max|d| = {maxd[i]:8.3f} cells   "
+              f"frac>B = {frac[i]:.3e}   branch = {branch}")
+    print(f"final max|d| = {float(diag['final_maxdisp']):.3f} cells")
+
+    kc, pk, _ = binned_power_spectrum(grid, delta_x=delta)
+    kc, pk = np.asarray(kc), np.asarray(pk)
+    pk_lin = np.asarray(cosmo.pk_lin(kc))
+    sel = np.isfinite(pk) & (kc > 3e-3) & (kc < 2e-2) & (pk_lin > 0)
+    with np.printoptions(precision=3, suppress=True):
+        print("k:", kc[sel])
+        print("P/P_lin (large scales):", pk[sel] / pk_lin[sel])
+    print(f"std(delta) = {float(np.std(np.asarray(delta))):.4f}")
+
+
+if __name__ == "__main__":
+    main()
