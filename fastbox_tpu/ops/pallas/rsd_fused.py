@@ -22,8 +22,17 @@ around t *in the circular lane topology*:
   - lane t+band+1 holds a node in (z_t, z_t + (2*band+1)*dz], so the
     upper bracket's lane is in [t - band, t + 3*band + 1];
 
-so a scan over the circularly-rolled lane offsets [-3*band, 3*band+1] with
-one-sided compare-select updates finds the exact brackets.
+so a scan over circularly-rolled lane offsets with one-sided compare-select
+updates finds the exact brackets.
+
+One wrinkle: the caller wraps coordinates with period ``length_z =
+z[-1] - z[0] = (C-1)*dz`` (ops/rsd.py, matching the reference box.py:425),
+while ``pltpu.roll`` wraps lanes with period ``C`` — so a node that wraps
+across the box face lands one lane skewed relative to the roll topology,
+shifting the extreme bracket offsets to -3*band-1 / 3*band+2.  The scan
+window is therefore [-3*band-1, 3*band+2] (two rolls wider than the
+unwrapped bound needs), which restores exactness for wrapped nodes at the
+cost of ~8% more rolls.
 
 Tie-breaking on exactly-equal f32 coordinates follows scan order, which
 matches the stable-sort exact paths except when a periodic image is
@@ -68,8 +77,10 @@ def _kernel(z_ref, s_ref, v_ref, fill_ref, out_ref, *, C: int, band: int):
     v_hi = jnp.zeros(s.shape, dtype)
 
     # Asymmetric windows (proof in module docstring): the lower bracket's
-    # lane offset lies in [-3*band, band], the upper's in [-band, 3*band+1].
-    for o in range(-3 * band, 3 * band + 2):
+    # lane offset lies in [-3*band-1, band], the upper's in [-band,
+    # 3*band+2] — each extreme widened by one lane for the (C-1)*dz wrap
+    # skew relative to the C-periodic roll topology.
+    for o in range(-3 * band - 1, 3 * band + 3):
         sc = pltpu.roll(s, (C - o) % C, 1)    # node coord at lane t + o
         vc = pltpu.roll(v, (C - o) % C, 1)
         below = sc <= z

@@ -4,6 +4,13 @@ The 256^3 pipeline's FFT floor is ~15 ms across three transforms
 (pipeline.py: irfftn(delta_k), irfftn(vz_k), rfftn(cleaned)).  The first
 two are independent once vz_k is formed, so XLA could in principle run
 them as one batched transform.  This measures whether that helps.
+
+Measurement method: ``jax.block_until_ready`` returns early through the
+axon tunnel (CLAUDE.md), so each variant is CHAINED k times inside one jit
+with real data dependencies, and a scalar is read back to force execution.
+The per-iteration time difference between variants isolates the
+separate-vs-batched irfftn pair; each iteration also contains one rfftn
+(the chain link), identical across variants.
 """
 import os
 import sys
@@ -18,34 +25,62 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_fastbox"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def bench(name, f, *args, n=20):
-    o = f(*args)
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        o = f(*args)
-    jax.block_until_ready(o)
-    print(f"{name:38s} {(time.perf_counter() - t0) / n * 1000:8.2f} ms",
-          flush=True)
-
-
 N = 256
 H = N // 2 + 1
-key = jax.random.PRNGKey(0)
-a = (jax.random.normal(key, (N, N, H)) + 1j * jax.random.normal(key, (N, N, H))).astype(jnp.complex64)
-b = (a * 1j).astype(jnp.complex64)
+K = 8  # chained iterations per program
 
-two = jax.jit(lambda a, b: (jnp.fft.irfftn(a, s=(N, N, N)),
-                            jnp.fft.irfftn(b, s=(N, N, N))))
-stacked = jax.jit(lambda a, b: jnp.fft.irfftn(jnp.stack([a, b]), s=(N, N, N),
-                                              axes=(1, 2, 3)))
-bench("2x irfftn separate", two, a, b)
-bench("1x irfftn batched (stack)", stacked, a, b)
 
-x = jax.random.normal(key, (N, N, N), jnp.float32)
-y = x * 2.0
-two_f = jax.jit(lambda x, y: (jnp.fft.rfftn(x), jnp.fft.rfftn(y)))
-st_f = jax.jit(lambda x, y: jnp.fft.rfftn(jnp.stack([x, y]), axes=(1, 2, 3)))
-bench("2x rfftn separate", two_f, x, y)
-bench("1x rfftn batched (stack)", st_f, x, y)
+def chain(pairfn):
+    """x -> repeat K times: a=rfftn(x); (y1,y2)=pairfn(a); x=y1+y2."""
+
+    @jax.jit
+    def f(x, w1, w2):
+        for _ in range(K):
+            a = jnp.fft.rfftn(x)
+            y1, y2 = pairfn(a, w1, w2)
+            x = y1 + y2
+            x = x * jnp.float32(0.5 / jnp.max(jnp.abs(x)))  # keep finite
+        return jnp.sum(x)
+
+    return f
+
+
+def pair_separate(a, w1, w2):
+    return (jnp.fft.irfftn(a * w1, s=(N, N, N)),
+            jnp.fft.irfftn(a * w2, s=(N, N, N)))
+
+
+def pair_batched(a, w1, w2):
+    st = jnp.stack([a * w1, a * w2])
+    y = jnp.fft.irfftn(st, s=(N, N, N), axes=(1, 2, 3))
+    return y[0], y[1]
+
+
+def timeit(name, f, *args, n=3):
+    out = f(*args)
+    float(out)  # force compile + first run
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(f(*args))
+    dt = (time.perf_counter() - t0) / (n * K)
+    print(f"{name:32s} {dt * 1000:8.3f} ms per rfftn+irfftn-pair iter",
+          flush=True)
+    return dt
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, N, N), jnp.float32)
+    kz = jnp.asarray(np.fft.rfftfreq(N).astype(np.float32))
+    w1 = jnp.exp(-kz**2)[None, None, :].astype(jnp.complex64) \
+        * jnp.ones((N, N, H), jnp.complex64)
+    w2 = (1j * kz)[None, None, :].astype(jnp.complex64) \
+        * jnp.ones((N, N, H), jnp.complex64)
+
+    t_sep = timeit("separate irfftn pair", chain(pair_separate), x, w1, w2)
+    t_bat = timeit("batched irfftn pair", chain(pair_batched), x, w1, w2)
+    print(f"batched/separate = {t_bat / t_sep:.3f}")
+
+
+if __name__ == "__main__":
+    main()

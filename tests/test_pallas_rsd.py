@@ -132,33 +132,50 @@ def test_rsd_fused_hull_fill(rng):
 
 def test_redshift_space_density_fused_path_interpret(rng, monkeypatch):
     """End-to-end redshift_space_density through the fused kernel + cond
-    wiring (interpret mode on CPU), vs the split jnp path."""
+    wiring (interpret mode on CPU), vs the split jnp path.
+
+    ``redshift_space_density`` is a module-level jit and ``_INTERPRET`` is
+    read at trace time, so the split-path references are computed FIRST,
+    then ``jax.clear_caches()`` forces a fresh trace under the monkeypatched
+    flag — and a spy on the fused kernel proves it was actually wired in
+    (an earlier version of this test was a silent jit-cache hit).
+    """
+    import fastbox_tpu.ops.pallas.rsd_fused as fused_mod
     import fastbox_tpu.ops.rsd as rsd_mod
     from fastbox_tpu.grid import GridSpec
 
-    N = 128
+    N = 64
     grid = GridSpec.create(box_scale=(500.0,) * 3, nsamp=N, redshift=0.0)
-    delta = rng.standard_normal((N, N, N))
+    delta = jnp.asarray(rng.standard_normal((N, N, N)))
     Hz = 70.0
     dz = float(np.asarray(grid.z)[1] - np.asarray(grid.z)[0])
-    vel = 0.3 * Hz * dz * rng.standard_normal((N, N, N))
+    vel = jnp.asarray(0.3 * Hz * dz * rng.standard_normal((N, N, N)))
+    # shell-crossing velocities: the in-band check fails -> exact fallback
+    vel_big = jnp.asarray(8.0 * Hz * dz * rng.standard_normal((N, N, N)))
 
-    want = np.asarray(rsd_mod.redshift_space_density(
-        jnp.asarray(delta), jnp.asarray(vel), grid, Hz))
+    # Split-path references, traced with _INTERPRET=False
+    want = np.asarray(rsd_mod.redshift_space_density(delta, vel, grid, Hz))
+    want_big = np.asarray(rsd_mod.redshift_space_density(delta, vel_big,
+                                                         grid, Hz))
+
+    calls = []
+    real_kernel = fused_mod.rsd_bracket_interp_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("interpret"))
+        return real_kernel(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod, "rsd_bracket_interp_pallas", spy)
     monkeypatch.setattr(rsd_mod, "_INTERPRET", True)
-    got = np.asarray(rsd_mod.redshift_space_density(
-        jnp.asarray(delta), jnp.asarray(vel), grid, Hz))
+    jax.clear_caches()  # drop the _INTERPRET=False trace of the same shapes
+
+    got = np.asarray(rsd_mod.redshift_space_density(delta, vel, grid, Hz))
+    assert calls and all(calls), \
+        "fused bracket kernel was never traced in interpret mode"
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
 
-    # shell-crossing velocities must take the exact fallback branch and
-    # still match the split path
-    vel_big = 8.0 * Hz * dz * rng.standard_normal((N, N, N))
-    monkeypatch.setattr(rsd_mod, "_INTERPRET", False)
-    want_big = np.asarray(rsd_mod.redshift_space_density(
-        jnp.asarray(delta), jnp.asarray(vel_big), grid, Hz))
-    monkeypatch.setattr(rsd_mod, "_INTERPRET", True)
-    got_big = np.asarray(rsd_mod.redshift_space_density(
-        jnp.asarray(delta), jnp.asarray(vel_big), grid, Hz))
+    got_big = np.asarray(rsd_mod.redshift_space_density(delta, vel_big,
+                                                        grid, Hz))
     assert np.allclose(got_big, want_big, rtol=1e-9, atol=1e-9)
 
 
