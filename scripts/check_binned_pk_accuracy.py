@@ -82,7 +82,8 @@ def main():
                       p3.ravel(), w, idx_j, int(edges.size)))
 
     def report(name, sums, sumsqs, cnts, nbins):
-        sel = cnt_o[:nbins] > 0
+        # skip empty bins AND the k=0 bin (count 1, exactly zero power)
+        sel = (cnt_o[:nbins] > 0) & (sums_o[:nbins] > 0)
         rs = np.abs(sums[sel] - sums_o[:nbins][sel]) / sums_o[:nbins][sel]
         rq = np.abs(sumsqs[sel] - sumsq_o[:nbins][sel]) / sumsq_o[:nbins][sel]
         dc = np.abs(cnts[sel] - cnt_o[:nbins][sel]).max()
