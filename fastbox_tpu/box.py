@@ -18,6 +18,7 @@ from functools import cached_property
 
 import jax
 import jax.numpy as jnp
+from .ops import fft_safe
 import numpy as np
 from scipy.integrate import simpson
 
@@ -220,7 +221,7 @@ class CosmoBox:
         if delta_x is not None and delta_k is not None:
             raise ValueError("delta_x and delta_k specified; can only specify one")
         if delta_x is not None:
-            delta_k = jnp.fft.fftn(jnp.asarray(delta_x))
+            delta_k = fft_safe.fftn(jnp.asarray(delta_x))
         if delta_k is None:
             delta_k = self.delta_k
         z = self.redshift if redshift is None else redshift
@@ -241,7 +242,7 @@ class CosmoBox:
         if delta_x is not None and delta_k is not None:
             raise ValueError("delta_x and delta_k specified; can only specify one")
         if delta_x is not None:
-            delta_k = jnp.fft.fftn(jnp.asarray(delta_x))
+            delta_k = fft_safe.fftn(jnp.asarray(delta_x))
         if delta_k is None:
             delta_k = self.delta_k
         z = self.redshift if redshift is None else redshift
@@ -270,7 +271,7 @@ class CosmoBox:
                              dtype=self.dtype, keep_velocities=keep_velocities)
         if inplace:
             self.delta_x = delta_x
-            self.delta_k = jnp.fft.fftn(delta_x)
+            self.delta_k = fft_safe.fftn(delta_x)
         if keep_velocities:
             return delta_x, vel[0], vel[1], vel[2]
         return delta_x
@@ -318,7 +319,7 @@ class CosmoBox:
         if delta_x is not None and delta_k is not None:
             raise ValueError("delta_x and delta_k specified; can only specify one")
         if delta_x is not None:
-            delta_k = jnp.fft.fftn(jnp.asarray(delta_x))
+            delta_k = fft_safe.fftn(jnp.asarray(delta_x))
         if delta_k is None:
             delta_k = self.delta_k
         return spectra_ops.binned_power_spectrum(self.grid, delta_k=delta_k,

@@ -20,6 +20,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 import numpy as np
 from jax import lax
 from scipy.integrate import quad
@@ -303,7 +304,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                             jnp.asarray(False))
                 rho = cic_paint_particles(u, Nf)
             delta = rho / mean_per_cell - 1.0
-            dk = jnp.fft.rfftn(delta)
+            dk = fft_safe.rfftn(delta)
             if kcut is not None:
                 dk = dk * kcut
             inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
@@ -313,9 +314,9 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             # Growth is therefore mildly suppressed approaching the particle
             # Nyquist; pass force_factor >= 2 when that regime matters.
             base = (1j * c) * dk * inv_k2
-            Fx = jnp.fft.irfftn(base * kx_d[:, None, None], s=(Nf, Nf, Nf))
-            Fy = jnp.fft.irfftn(base * kx_d[None, :, None], s=(Nf, Nf, Nf))
-            Fz = jnp.fft.irfftn(base * kz_d[None, None, :], s=(Nf, Nf, Nf))
+            Fx = fft_safe.irfftn(base * kx_d[:, None, None], s=(Nf, Nf, Nf))
+            Fy = fft_safe.irfftn(base * kx_d[None, :, None], s=(Nf, Nf, Nf))
+            Fz = fft_safe.irfftn(base * kz_d[None, None, :], s=(Nf, Nf, Nf))
             if use_lattice:
                 def g_lat(_):
                     return jnp.stack(
@@ -368,8 +369,8 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
         from ..ops.painting import compensation
 
         comp_k = compensation(grid, "cic", dtype)[..., : N // 2 + 1]
-        delta_x = jnp.fft.irfftn(jnp.fft.rfftn(rho - 1.0) * comp_k,
-                                 s=(N, N, N)).astype(dtype)
+        delta_x = fft_safe.irfftn(fft_safe.rfftn(rho - 1.0) * comp_k,
+                                  s=(N, N, N)).astype(dtype)
 
         diag_out = None
         if diagnostics:

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 import numpy as np
 
 from ..grid import GridSpec
@@ -113,7 +114,7 @@ def gaussian_field_from_whitenoise(white, grid: GridSpec, pk_fn):
     # delta_k = fftn(Re(ifftn(white*amp))) == Hermitian projection of
     # white*amp: one FFT instead of the reference's two (box.py:187-193).
     delta_k = hermitian_symmetrize(white * amp).astype(_complex_dtype(rdtype))
-    delta_x = jnp.fft.ifftn(delta_k).real.astype(rdtype)
+    delta_x = fft_safe.ifftn(delta_k).real.astype(rdtype)
     return delta_x, delta_k
 
 

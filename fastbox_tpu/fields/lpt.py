@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 
 from ..grid import GridSpec
 
@@ -40,9 +41,9 @@ def _gradient(phi_k, kvecs, nyq_mask):
     gxk = jnp.where(nyq_mask[:, None, None], 0.0, 1j * kx[:, None, None] * phi_k)
     gyk = jnp.where(nyq_mask[None, :, None], 0.0, 1j * ky[None, :, None] * phi_k)
     gzk = jnp.where(nyq_mask[None, None, :], 0.0, 1j * kz[None, None, :] * phi_k)
-    gx = jnp.fft.ifftn(gxk).real
-    gy = jnp.fft.ifftn(gyk).real
-    gz = jnp.fft.ifftn(gzk).real
+    gx = fft_safe.ifftn(gxk).real
+    gy = fft_safe.ifftn(gyk).real
+    gz = fft_safe.ifftn(gzk).real
     return jnp.stack([gx, gy, gz])
 
 
@@ -76,12 +77,12 @@ def lpt_displacements(delta_k, grid: GridSpec):
         "xz": kx[:, None, None] * kz[None, None, :],
         "yz": ky[None, :, None] * kz[None, None, :],
     }
-    d = {key: jnp.fft.ifftn(-val * phi1_k).real for key, val in kk.items()}
+    d = {key: fft_safe.ifftn(-val * phi1_k).real for key, val in kk.items()}
 
     S2 = (d["xx"] * d["yy"] - d["xy"] ** 2
           + d["xx"] * d["zz"] - d["xz"] ** 2
           + d["yy"] * d["zz"] - d["yz"] ** 2)
-    phi2_k = jnp.fft.fftn(S2) * inv_k2
+    phi2_k = fft_safe.fftn(S2) * inv_k2
     psi2 = _gradient(phi2_k, kvecs, nyq)
     return psi1, psi2
 

@@ -10,6 +10,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 
 from ..grid import GridSpec
 
@@ -44,7 +45,7 @@ def apply_transfer_fn(field_k, grid: GridSpec, transfer_fn):
     k_perp, k_par = grid.kperp_kpar(rdtype)
     dk = field_k * transfer_fn(k_perp, k_par)
     dk = jnp.nan_to_num(dk)
-    return jnp.fft.ifftn(dk)
+    return fft_safe.ifftn(dk)
 
 
 def window(k, R):
@@ -73,4 +74,4 @@ def smooth_field(field_k, grid: GridSpec, R, h):
     kmag = grid.kmag(rdtype)
     dk = field_k * window1(kmag, R / h)
     dk = jnp.nan_to_num(dk)
-    return jnp.fft.ifftn(dk)
+    return fft_safe.ifftn(dk)

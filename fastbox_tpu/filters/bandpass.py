@@ -8,6 +8,7 @@ the implementation here is the intended behaviour.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from ..ops import fft_safe
 import numpy as np
 
 from .pca import mean_spectrum_filter, pca_filter
@@ -30,11 +31,11 @@ def angular_bandpass_filter(field, kmin: float, kmax: float, d: float = 1.0):
     with k_perp outside [kmin, kmax) are zeroed.  Returns a complex field
     (the reference returns the raw ifftn output).
     """
-    field_k = jnp.fft.fftn(field, axes=[0, 1])
+    field_k = fft_safe.fftn(field, axes=(0, 1))
     k = _kperp_fftfreq(field.shape[0], field.shape[1], d)
     keep = jnp.asarray((k >= kmin) & (k < kmax))
     field_k = field_k * keep[:, :, None]
-    return jnp.fft.ifftn(field_k, axes=[0, 1])
+    return fft_safe.ifftn(field_k, axes=(0, 1))
 
 
 def bandpower_pca_filter(field, nbands: int, modes):

@@ -23,6 +23,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 import numpy as np
 
 from ..constants import C_MS
@@ -54,9 +55,9 @@ def convolve_fft_cube(beam, field):
     n0, n1, _ = field.shape
     m0, m1, _ = beam.shape
     f0, f1 = n0 + m0 - 1, n1 + m1 - 1
-    B = jnp.fft.rfft2(beam, s=(f0, f1), axes=(0, 1))
-    F = jnp.fft.rfft2(field, s=(f0, f1), axes=(0, 1))
-    full = jnp.fft.irfft2(B * F, s=(f0, f1), axes=(0, 1))
+    B = fft_safe.rfft2(beam, s=(f0, f1), axes=(0, 1))
+    F = fft_safe.rfft2(field, s=(f0, f1), axes=(0, 1))
+    full = fft_safe.irfft2(B * F, s=(f0, f1), axes=(0, 1))
     s0, s1 = (f0 - n0) // 2, (f1 - n1) // 2
     out = full[s0:s0 + n0, s1:s1 + n1, :]
     norm = jnp.sum(beam.reshape(-1, beam.shape[-1]), axis=0)
@@ -73,9 +74,9 @@ def convolve_wrap_cube(beam, field):
     convolve2d's 'same' centring (offset (N-1)//2 per axis).
     """
     n0, n1, _ = field.shape
-    B = jnp.fft.fft2(beam, axes=(0, 1))
-    F = jnp.fft.fft2(field, axes=(0, 1))
-    circ = jnp.fft.ifft2(B * F, axes=(0, 1)).real
+    B = fft_safe.fft2(beam, axes=(0, 1))
+    F = fft_safe.fft2(field, axes=(0, 1))
+    circ = fft_safe.ifft2(B * F, axes=(0, 1)).real
     out = jnp.roll(circ, shift=(-((n0 - 1) // 2), -((n1 - 1) // 2)),
                    axis=(0, 1))
     norm = jnp.sum(beam.reshape(-1, beam.shape[-1]), axis=0)

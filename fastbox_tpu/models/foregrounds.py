@@ -28,6 +28,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 from scipy.integrate import quad
 
 from ..constants import C_MS, CMB_TEMP, H_PLANCK, KBOLTZ
@@ -81,8 +82,8 @@ def gaussian_smooth_wrap(field2d, sigma_pix: float):
     rdtype = field2d.dtype
     k0 = jnp.asarray(np.fft.fft(_scipy_gaussian_kernel1d(sigma_pix, n0)))
     k1 = jnp.asarray(np.fft.fft(_scipy_gaussian_kernel1d(sigma_pix, n1)))
-    fk = jnp.fft.fft2(field2d.astype(jnp.promote_types(rdtype, jnp.float32)))
-    out = jnp.fft.ifft2(fk * k0[:, None] * k1[None, :]).real
+    fk = fft_safe.fft2(field2d.astype(jnp.promote_types(rdtype, jnp.float32)))
+    out = fft_safe.ifft2(fk * k0[:, None] * k1[None, :]).real
     return out.astype(rdtype)
 
 
@@ -115,7 +116,7 @@ class ForegroundModel:
         C_ell = jnp.where(ell > 0.0, C_ell, 0.0)  # remove inf at k=0
         C_ell = C_ell * (grid.N**4 / (grid.Lx * grid.Ly))
         fg_k = white2d * jnp.sqrt(C_ell)
-        fg_x = jnp.fft.ifftn(fg_k).real + monopole
+        fg_x = fft_safe.ifftn(fg_k).real + monopole
         if smoothing_sigma_pix is not None:
             fg_x = gaussian_smooth_wrap(fg_x, smoothing_sigma_pix)
         return fg_x.astype(rdtype)
@@ -221,7 +222,7 @@ class PointSourceModel:
         # chi^2 converts the per-steradian C_ell to the comoving pixel grid:
         # a transverse comoving length L corresponds to angle L/chi.
         fg = white * jnp.sqrt(jnp.asarray(cl, dtype=box.dtype))
-        return jnp.fft.ifftn(fg).real.astype(box.dtype)
+        return fft_safe.ifftn(fg).real.astype(box.dtype)
 
     def construct_cube(self, flux_cutoff, beta, delta_beta, redshift=None,
                        seed_clustering=None, seed_poisson=None):

@@ -1,0 +1,311 @@
+"""Matmul (MXU) FFTs: Cooley-Tukey DFTs expressed as small einsums.
+
+Why this exists: the axon TPU backend implements ONLY unbatched rank-3
+R2C/C2R transforms (``jnp.fft.rfftn``/``irfftn`` on a bare (N,N,N) cube).
+Everything else — C2C in any rank, 1D/2D transforms, any leading batch
+dimension — raises ``UNIMPLEMENTED`` (measured 2026-08-17, see
+scripts/microbench_fft_batch.py).  That rules out the classic perf tricks
+(batched inverse pairs, two-real-fields-in-one-complex-transform) and
+breaks the beam/k_par instrument branches on hardware.
+
+The fix: run the DFT on the MXU.  A length-``N = n1*n2`` DFT along one
+axis is two (n1,n1)/(n2,n2) matmuls with a twiddle multiply in between
+(decimation in time):
+
+    j = j1*n2 + j2,  k = k2*n1 + k1
+    A[k1, j2] = sum_j1 x[j1, j2] W_n1^(j1 k1)
+    B[k1, j2] = A[k1, j2] * W_N^(k1 j2)
+    X[k2, k1] = sum_j2 B[k1, j2] W_n2^(j2 k2)
+
+Everything is dense linear algebra: batch dimensions are free, any rank
+works, and the MXU does the flops.  Matmuls run at ``precision=HIGHEST``
+(6-pass bf16) so f32 inputs keep ~f32 accuracy; the factor matrices are
+built in float64 on the host.
+
+Cost model (256^3, f32): ~13 GFLOP and ~6 HBM passes per full C2C cube
+transform — competitive with the native rank-3 FFT (~5.6 ms), and the only
+way at all to get batched/C2C/low-rank transforms on this backend.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fft", "ifft", "fftn", "ifftn", "fft2", "ifft2",
+           "rfft", "irfft", "rfftn_via_cfft", "irfftn_pair",
+           "rfftn3", "irfftn3"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _factor(n: int) -> tuple[int, ...]:
+    """Split n into DFT stage sizes.
+
+    The MXU wants LARGE dense stages: a (16,16) radix stage contracts only
+    16 elements per output (a sliver of a 128x128 systolic tile), while a
+    dense (256,256) DFT matrix is a full-utilization matmul with no
+    twiddle pass at all.  So: one dense stage up to 256, peeling small
+    prefactors only for larger n (512 -> (2, 256), 1024 -> (4, 256) — the
+    tiny stage is negligible flops and lowers to vector adds).
+    """
+    if n <= 256:
+        return (n,)
+    out = []
+    while n > 256:
+        for p in (2, 3, 5, 7):
+            if n % p == 0:
+                out.append(p)
+                n //= p
+                break
+        else:  # large prime factor: accept one big dense stage
+            break
+    out.append(n)
+    return tuple(out)
+
+
+@lru_cache(maxsize=64)
+def _stage_mats(n: int, sign: int, dtype_name: str):
+    """Host-precomputed (W_stage, twiddle) ladder for a length-n DFT.
+
+    Returns a list of (n1, n2, W1[n1,n1], T[n1,n2]) where n2 is the
+    remaining length after this stage (product of later stages); the last
+    stage has n2 == 1 and T == None.
+    """
+    dtype = np.dtype(dtype_name)
+    stages = _factor(n)
+    mats = []
+    rem = n
+    for s in stages:
+        n1, n2 = s, rem // s
+        j1 = np.arange(n1)
+        W1 = np.exp(sign * 2j * np.pi * np.outer(j1, j1) / n1)
+        if n2 > 1:
+            T = np.exp(sign * 2j * np.pi
+                       * np.outer(j1, np.arange(n2)) / rem)
+        else:
+            T = None
+        # Cache NUMPY constants: creating jnp arrays here would return
+        # tracers when first called inside a jit trace, and the lru_cache
+        # would leak them into later traces.
+        mats.append((n1, n2, W1.astype(dtype),
+                     None if T is None else T.astype(dtype)))
+        rem = n2
+    return mats
+
+
+def _dft_last(x, n: int, sign: int):
+    """DFT along the last axis via the matmul ladder (recursive radix)."""
+    cdtype = "complex128" if x.dtype == jnp.complex128 else "complex64"
+    mats = _stage_mats(n, sign, cdtype)
+
+    def rec(x, level):
+        n1, n2, W1, T = mats[level]
+        if n2 == 1:
+            return jnp.einsum("...a,ab->...b", x, W1, precision=_PREC)
+        xs = x.reshape(x.shape[:-1] + (n1, n2))
+        A = jnp.einsum("...ab,ac->...cb", xs, W1, precision=_PREC)
+        B = A * T  # broadcast over leading dims
+        X = rec(B, level + 1)           # shape (..., k1, k2)
+        X = jnp.swapaxes(X, -1, -2)     # k = k2*n1 + k1
+        return X.reshape(x.shape[:-1] + (n1 * n2,))
+
+    return rec(x.astype(cdtype), 0)
+
+
+def fft(x, axis: int = -1):
+    """C2C forward DFT along ``axis`` (any rank, any batch dims)."""
+    x = jnp.moveaxis(x, axis, -1)
+    y = _dft_last(x, x.shape[-1], -1)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def ifft(x, axis: int = -1):
+    """C2C inverse DFT along ``axis`` (normalised by 1/n)."""
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    y = _dft_last(x, n, +1) * (1.0 / n)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def fft2(x, axes=(-2, -1)):
+    for ax in axes:
+        x = fft(x, ax)
+    return x
+
+
+def ifft2(x, axes=(-2, -1)):
+    for ax in axes:
+        x = ifft(x, ax)
+    return x
+
+
+def fftn(x, axes=None):
+    axes = tuple(range(x.ndim)) if axes is None else axes
+    for ax in axes:
+        x = fft(x, ax)
+    return x
+
+
+def ifftn(x, axes=None):
+    axes = tuple(range(x.ndim)) if axes is None else axes
+    for ax in axes:
+        x = ifft(x, ax)
+    return x
+
+
+def rfft(x, axis: int = -1):
+    """R2C forward along ``axis``: full C2C, sliced to n//2+1 modes."""
+    n = x.shape[axis]
+    y = fft(x.astype(jnp.result_type(x.dtype, jnp.complex64)), axis)
+    sl = [slice(None)] * y.ndim
+    sl[axis] = slice(0, n // 2 + 1)
+    return y[tuple(sl)]
+
+
+def irfft(x, n: int, axis: int = -1):
+    """C2R inverse along ``axis`` from the half spectrum (length n//2+1)."""
+    x = jnp.moveaxis(x, axis, -1)
+    h = x.shape[-1]
+    assert h == n // 2 + 1, (h, n)
+    # Hermitian mirror: X[n-k] = conj(X[k]) for k = 1..n-h
+    tail = jnp.conj(x[..., 1:n - h + 1][..., ::-1])
+    full = jnp.concatenate([x, tail], axis=-1)
+    y = _dft_last(full, n, +1) * (1.0 / n)
+    return jnp.moveaxis(jnp.real(y), -1, axis)
+
+
+def rfftn_via_cfft(x, axes=None):
+    """rfftn equivalent: C2C over all axes, last axis sliced to half.
+
+    For a real input this does 2x the minimal work along the first axis,
+    but every stage is batched MXU work, which the native backend cannot
+    batch at all.
+    """
+    axes = tuple(range(x.ndim)) if axes is None else tuple(axes)
+    n_last = x.shape[axes[-1]]
+    y = x.astype(jnp.complex64) if not jnp.iscomplexobj(x) else x
+    y = fft(y, axes[-1])
+    sl = [slice(None)] * y.ndim
+    sl[axes[-1]] = slice(0, n_last // 2 + 1)
+    y = y[tuple(sl)]
+    for ax in axes[:-1]:
+        y = fft(y, ax)
+    return y
+
+
+@lru_cache(maxsize=32)
+def _c2r_mats(n: int, dtype_name: str):
+    """Real matrices (Er, Ei) of shape (H, n) for the last-axis C2R stage:
+    y[x] = Er.T @ Re(c) - Ei.T @ Im(c), folding the Hermitian tail's
+    contribution into mode multiplicities m = [1, 2, ..., 2, (1|2)]."""
+    H = n // 2 + 1
+    m = np.full(H, 2.0)
+    m[0] = 1.0
+    if n % 2 == 0:
+        m[-1] = 1.0
+    ph = 2.0 * np.pi * np.outer(np.arange(H), np.arange(n)) / n
+    Er = (m[:, None] * np.cos(ph)) / n
+    Ei = (m[:, None] * np.sin(ph)) / n
+    dt = np.dtype(dtype_name)
+    return Er.astype(dt), Ei.astype(dt)
+
+
+@lru_cache(maxsize=32)
+def _r2c_mats(n: int, dtype_name: str):
+    """Real matrices (Cr, Ci) of shape (n, H) for the last-axis R2C stage:
+    c[k] = x @ Cr + i * (x @ Ci)."""
+    H = n // 2 + 1
+    ph = 2.0 * np.pi * np.outer(np.arange(n), np.arange(H)) / n
+    dt = np.dtype(dtype_name)
+    return np.cos(ph).astype(dt), (-np.sin(ph)).astype(dt)
+
+
+def rfftn_any(x, axes):
+    """R2C over ``axes`` (half spectrum along ``axes[-1]``), any rank.
+
+    The half axis runs as two real-matrix MXU contractions, then C2C
+    matmul DFTs over the remaining axes on half-width data — the
+    replacement for ``jnp.fft.rfftn(x, axes=axes)`` on this backend.
+    """
+    axes = tuple(ax % x.ndim for ax in axes)
+    al = axes[-1]
+    n = x.shape[al]
+    rdt = "float64" if x.dtype == jnp.float64 else "float32"
+    Cr, Ci = _r2c_mats(n, rdt)
+    xm = jnp.moveaxis(x, al, -1)
+    cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=_PREC)
+    ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=_PREC)
+    c = jnp.moveaxis(jax.lax.complex(cr, ci), -1, al)
+    for ax in axes[:-1]:
+        c = fft(c, ax)
+    return c
+
+
+def irfftn_any(a_half, n_last: int, axes):
+    """C2R over ``axes`` from the half spectrum along ``axes[-1]``.
+
+    C2C matmul DFT inverses over the leading axes on half-width data,
+    then one real-matrix contraction applies the final inverse and the
+    Hermitian fold — the replacement for
+    ``jnp.fft.irfftn(a, s=..., axes=axes)`` on this backend.
+    """
+    axes = tuple(ax % a_half.ndim for ax in axes)
+    al = axes[-1]
+    rdt = "float64" if a_half.dtype == jnp.complex128 else "float32"
+    assert a_half.shape[al] == n_last // 2 + 1, (a_half.shape, n_last)
+    for ax in axes[:-1]:
+        a_half = ifft(a_half, ax)
+    Er, Ei = _c2r_mats(n_last, rdt)
+    am = jnp.moveaxis(a_half, al, -1)
+    y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=_PREC)
+         - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=_PREC))
+    return jnp.moveaxis(y, -1, al)
+
+
+def irfftn3(a_half, s):
+    """``jnp.fft.irfftn(a, s=s)`` replacement for a 3D half spectrum."""
+    assert a_half.ndim == 3
+    return irfftn_any(a_half, s[-1], (0, 1, 2))
+
+
+def rfftn3(x):
+    """``jnp.fft.rfftn(x)`` replacement for a real 3D cube."""
+    assert x.ndim == 3
+    return rfftn_any(x, (0, 1, 2))
+
+
+def _hermitian_full(h, n_last: int):
+    """Expand an rfftn-layout half spectrum (..., N, N, H) of a REAL cube
+    to the full (..., N, N, n_last) spectrum.
+
+    3D Hermitian symmetry: X[-i, -j, -k] = conj(X[i, j, k]) (indices mod
+    N), so the missing k >= H planes mirror with ALL axes reversed.
+    """
+    H = h.shape[-1]
+    mid = h[..., 1:n_last - H + 1]      # k = 1 .. n_last-H
+    m = jnp.conj(mid[..., ::-1])        # now ordered k' = H .. n_last-1
+    # i -> (-i) mod N on each leading spatial axis: flip then roll by one
+    m = jnp.roll(jnp.flip(m, axis=-3), 1, axis=-3)
+    m = jnp.roll(jnp.flip(m, axis=-2), 1, axis=-2)
+    return jnp.concatenate([h, m], axis=-1)
+
+
+def irfftn_pair(a_half, b_half, s):
+    """Two C2R inverse 3D transforms for the price of one C2C transform.
+
+    ``a_half``/``b_half`` are Hermitian half-spectra (shape
+    (..., N, N, N//2+1), the layout of ``jnp.fft.rfftn`` output); returns
+    the two real cubes ``(irfftn(a), irfftn(b))``, computed as the
+    real/imag parts of one complex inverse transform of ``a + i b``.
+    """
+    N0, N1, N2 = s
+    assert a_half.shape[-1] == N2 // 2 + 1
+    assert b_half.shape[-1] == N2 // 2 + 1
+    c = _hermitian_full(a_half, N2) + 1j * _hermitian_full(b_half, N2)
+    c = ifft(c, -3)
+    c = ifft(c, -2)
+    c = ifft(c, -1)
+    return jnp.real(c), jnp.imag(c)

@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from . import fft_safe
 import numpy as np
 
 from ..grid import GridSpec
@@ -141,11 +142,11 @@ def overdensity_from_catalogue(positions, grid: GridSpec, weights=None,
         phase = jnp.exp(1j * (kx[:, None, None] * (grid.Lx / grid.N / 2.0)
                               + ky[None, :, None] * (grid.Ly / grid.N / 2.0)
                               + kz[None, None, :] * (grid.Lz / grid.N / 2.0)))
-        ck = 0.5 * (jnp.fft.fftn(mesh) + jnp.fft.fftn(mesh2) * phase)
-        mesh = jnp.fft.ifftn(ck).real.astype(mesh.dtype)
+        ck = 0.5 * (fft_safe.fftn(mesh) + fft_safe.fftn(mesh2) * phase)
+        mesh = fft_safe.ifftn(ck).real.astype(mesh.dtype)
     nbar = jnp.mean(mesh)
     delta = mesh / nbar - 1.0
     if compensated:
-        dk = jnp.fft.fftn(delta) * compensation(grid, window, jnp.real(mesh).dtype)
-        delta = jnp.fft.ifftn(dk).real.astype(mesh.dtype)
+        dk = fft_safe.fftn(delta) * compensation(grid, window, jnp.real(mesh).dtype)
+        delta = fft_safe.ifftn(dk).real.astype(mesh.dtype)
     return delta

@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from . import fft_safe
 import numpy as np
 
 from ..grid import GridSpec
@@ -81,7 +82,7 @@ def binned_power_spectrum(
     if delta_x is not None and delta_k is not None:
         raise ValueError("delta_x and delta_k specified; can only specify one")
     if delta_k is None:
-        delta_k = jnp.fft.fftn(delta_x)
+        delta_k = fft_safe.fftn(delta_x)
     rdtype = jnp.real(delta_k).dtype
 
     bins = np.asarray(kbins if kbins is not None else default_kbins(grid, nbins),
@@ -100,8 +101,8 @@ def binned_power_spectrum(
 # ----------------------------------------------------------------------
 def _power_3d(grid: GridSpec, delta_x, second=None):
     """Raw 3D (cross-)power |d1_k conj(d2_k)| / boxfactor on the full grid."""
-    d1k = jnp.fft.fftn(delta_x)
-    d2k = d1k if second is None else jnp.fft.fftn(second)
+    d1k = fft_safe.fftn(delta_x)
+    d2k = d1k if second is None else fft_safe.fftn(second)
     rdtype = jnp.real(delta_x).dtype
     return (d1k * jnp.conj(d2k)).real / jnp.asarray(grid.boxfactor, rdtype), rdtype
 
@@ -284,10 +285,10 @@ def correlation_function(
     xi(r) = ifftn(|delta_k|^2).real / N^3, binned in minimum-image |r|.
     Matches the nbodykit FFTCorr path used at example_endtoend.py:122-151.
     """
-    d1k = jnp.fft.fftn(delta_x)
-    d2k = d1k if second is None else jnp.fft.fftn(second)
+    d1k = fft_safe.fftn(delta_x)
+    d2k = d1k if second is None else fft_safe.fftn(second)
     rdtype = jnp.real(delta_x).dtype
-    xi3d = jnp.fft.ifftn(d1k * jnp.conj(d2k)).real / grid.N**3
+    xi3d = fft_safe.ifftn(d1k * jnp.conj(d2k)).real / grid.N**3
 
     if rmax is None:
         rmax = 0.5 * min(grid.Lx, grid.Ly, grid.Lz)
@@ -324,10 +325,10 @@ def correlation_multipoles(
 ):
     """Correlation-function multipoles xi_l(r) along a static ``los`` vector
     (default z axis, matching every reference example)."""
-    d1k = jnp.fft.fftn(delta_x)
-    d2k = d1k if second is None else jnp.fft.fftn(second)
+    d1k = fft_safe.fftn(delta_x)
+    d2k = d1k if second is None else fft_safe.fftn(second)
     rdtype = jnp.real(delta_x).dtype
-    xi3d = jnp.fft.ifftn(d1k * jnp.conj(d2k)).real / grid.N**3
+    xi3d = fft_safe.ifftn(d1k * jnp.conj(d2k)).real / grid.N**3
 
     if rmax is None:
         rmax = 0.5 * min(grid.Lx, grid.Ly, grid.Lz)

@@ -14,6 +14,7 @@ communication-free.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from ..ops import fft_safe
 from jax import lax
 
 __all__ = [
@@ -24,18 +25,18 @@ __all__ = [
 
 def pfft3_local(x, axis_name: str):
     """Forward 3D FFT of a batched row-slab (B, N/P, N, N) -> same sharding."""
-    x = jnp.fft.fftn(x, axes=(2, 3))
+    x = fft_safe.fftn(x, axes=(2, 3))
     # (B, N/P, N, N) -> (B, N, N/P, N): send column blocks, gather full rows
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.fft(x, axis=1)
+    x = fft_safe.fft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
 def pifft3_local(x, axis_name: str):
     """Inverse 3D FFT of a batched row-slab (B, N/P, N, N)."""
-    x = jnp.fft.ifftn(x, axes=(2, 3))
+    x = fft_safe.ifftn(x, axes=(2, 3))
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.ifft(x, axis=1)
+    x = fft_safe.ifft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
@@ -48,10 +49,10 @@ def prfft3_local(x, axis_name: str):
     ``pfft3_local`` — the rfft treatment the single-chip pipeline already
     uses, extended to the slab decomposition.
     """
-    x = jnp.fft.rfft(x, axis=3)
-    x = jnp.fft.fft(x, axis=2)
+    x = fft_safe.rfft(x, axis=3)
+    x = fft_safe.fft(x, axis=2)
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.fft(x, axis=1)
+    x = fft_safe.fft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
@@ -62,23 +63,23 @@ def pirfft3_local(x, n: int, axis_name: str):
     z-axis length (required because N//2+1 is ambiguous in parity).
     """
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.ifft(x, axis=1)
+    x = fft_safe.ifft(x, axis=1)
     x = lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    x = jnp.fft.ifft(x, axis=2)
-    return jnp.fft.irfft(x, n=n, axis=3)
+    x = fft_safe.ifft(x, axis=2)
+    return fft_safe.irfft(x, n=n, axis=3)
 
 
 def pfft2_local(x, axis_name: str):
     """Forward 2D FFT of a batched sharded map (B, N/P, N)."""
-    x = jnp.fft.fft(x, axis=2)
+    x = fft_safe.fft(x, axis=2)
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.fft(x, axis=1)
+    x = fft_safe.fft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
 def pifft2_local(x, axis_name: str):
     """Inverse 2D FFT of a batched sharded map (B, N/P, N)."""
-    x = jnp.fft.ifft(x, axis=2)
+    x = fft_safe.ifft(x, axis=2)
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = jnp.fft.ifft(x, axis=1)
+    x = fft_safe.ifft(x, axis=1)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..ops import fft_safe
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -235,9 +236,9 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
             dk2 = pfft2_local(data.astype(cdtype), "space")
             data = pifft2_local(dk2 * Bfac, "space").real.astype(dtype)
         if config.kpar_min is not None:
-            dkz = jnp.fft.rfft(data, axis=3)
+            dkz = fft_safe.rfft(data, axis=3)
             T = 1.0 - jnp.exp(-0.5 * (kzh / dtype.type(config.kpar_min)) ** 2)
-            data = jnp.fft.irfft(dkz * T[None, None, None, :], n=N,
+            data = fft_safe.irfft(dkz * T[None, None, None, :], n=N,
                                  axis=3).astype(dtype)
 
         # --- (7) PCA clean (covariance psum'd over pixels) -----------

@@ -33,6 +33,7 @@ from .filters import pca_filter
 from .grid import GridSpec
 from .models import noise as noise_mod
 from .models.foregrounds import ForegroundModel, gaussian_smooth_wrap
+from .ops import fft_safe
 from .ops import rsd as rsd_ops
 from .ops import spectra as spectra_ops
 
@@ -193,11 +194,11 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         if rows_mode:
             white = row_normal(key, TAGS["density"], 0, grid.N,
                                (grid.N, grid.N), dtype)
-            white_h = jnp.fft.rfftn(white) * dtype.type(grid.N ** -1.5)
+            white_h = fft_safe.rfftn(white) * dtype.type(grid.N ** -1.5)
         else:
             white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
         delta_k = white_h * amp_half
-        delta_x = jnp.fft.irfftn(delta_k, s=grid.shape).astype(dtype)
+        delta_x = fft_safe.irfftn(delta_k, s=grid.shape).astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)
@@ -210,7 +211,7 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         vz_k = (1j * delta_k) * (dtype.type(vel_fac)
                                  * kz_half[None, None, :] * inv_k2)
         vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
-        vel_z = jnp.fft.irfftn(vz_k, s=grid.shape).astype(dtype)
+        vel_z = fft_safe.irfftn(vz_k, s=grid.shape).astype(dtype)
 
         # (4) RSD remap
         if rows_mode and config.sigma_nl > 0.0:
@@ -274,15 +275,15 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
             sig_j = jnp.asarray(sigma_r, dtype)              # (Nfreq,) Mpc
             kperp2 = (kxv[:, None] ** 2
                       + kyv[: grid.N // 2 + 1][None, :] ** 2)
-            dk2 = jnp.fft.rfftn(data, axes=(0, 1))
+            dk2 = fft_safe.rfftn(data, axes=(0, 1))
             B = jnp.exp(-0.5 * kperp2[:, :, None] * (sig_j**2)[None, None, :])
-            data = jnp.fft.irfftn(dk2 * B, s=(grid.N, grid.N),
-                                  axes=(0, 1)).astype(dtype)
+            data = fft_safe.irfftn(dk2 * B, s=(grid.N, grid.N),
+                                   axes=(0, 1)).astype(dtype)
         if config.kpar_min is not None:
-            dkz = jnp.fft.rfft(data, axis=2)
+            dkz = fft_safe.rfft(data, axis=2)
             T = 1.0 - jnp.exp(-0.5 * (kz_half / dtype.type(config.kpar_min)) ** 2)
-            data = jnp.fft.irfft(dkz * T[None, None, :], n=grid.N,
-                                 axis=2).astype(dtype)
+            data = fft_safe.irfft(dkz * T[None, None, :], n=grid.N,
+                                  axis=2).astype(dtype)
 
         # (8) PCA clean (subspace iteration by default: the TPU's small
         # eigh is slow and only the top-mode span matters)
@@ -300,7 +301,7 @@ def make_pipeline(grid: GridSpec, cosmology: Cosmology,
         from .ops.reduce import binned_weighted_dual
 
         boxf = jnp.asarray(grid.boxfactor, dtype)
-        ck = jnp.fft.rfftn(cleaned)
+        ck = fft_safe.rfftn(cleaned)
         p_clean = (ck * jnp.conj(ck)).real / boxf
         p_dens = (delta_k * jnp.conj(delta_k)).real / boxf
         w = jnp.broadcast_to(kzw_j[None, None, :], p_clean.shape)
@@ -336,7 +337,13 @@ def make_ensemble_pipeline(grid: GridSpec, cosmology: Cosmology,
     throughput configuration.
     """
     single = make_pipeline(grid, cosmology, config, jit=False)
-    batched = jax.vmap(single)
+
+    def batched(keys):
+        # Under vmap the cube FFTs acquire a batch dim, which the native
+        # TPU FFT cannot run at all — force the matmul path at trace time.
+        with fft_safe.matmul_only():
+            return jax.vmap(single)(keys)
+
     if mesh is None:
         return jax.jit(batched)
 
