@@ -14,6 +14,8 @@ Quantities provided (all for flat LCDM + radiation):
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from scipy.integrate import solve_ivp, quad
 
@@ -81,10 +83,13 @@ def _growth_ode(lna, y, cosmo: CosmoParams):
     return [dD, -(2.0 + dlnE) * dD + 1.5 * om_a * D]
 
 
+@lru_cache(maxsize=32)
 def growth_tables(cosmo: CosmoParams, a_min: float = _A_INIT, n: int = 512):
     """Solve the growth ODE; return (a, D(a) normalised to D(1)=1, f(a)).
 
     Matter-domination initial conditions D = a, dD/dlna = a at ``a_min``.
+    Cached per (cosmology, grid) — the COLA step schedule interrogates it
+    dozens of times per realisation (~0.5 s of host solve_ivp otherwise).
     """
     lna = np.linspace(np.log(a_min), 0.0, n)
     sol = solve_ivp(
@@ -101,7 +106,10 @@ def growth_tables(cosmo: CosmoParams, a_min: float = _A_INIT, n: int = 512):
     dD = sol.y[1]
     f = dD / D
     a = np.exp(lna)
-    return a, D / D[-1], f
+    out = (a, D / D[-1], f)
+    for arr in out:  # cached + shared: guard against caller mutation
+        arr.setflags(write=False)
+    return out
 
 
 def growth_factor(cosmo: CosmoParams, a):

@@ -16,7 +16,7 @@ which follows from the first- and second-order growth equations.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -109,7 +109,8 @@ def _kick_drift_integrals(params, a1, a2):
 def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          redshift_init: float = 15.0, n_steps: int | None = None,
                          dtype=jnp.float32, keep_velocities: bool = True,
-                         force_factor: int = 1, lattice_B: int | None = 2,
+                         force_factor: int = 1, lattice_B: int | None = 3,
+                         lattice_impl: str = "auto",
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -121,18 +122,22 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     small-scale growth near the particle Nyquist at 8-27x the force-mesh
     memory; 1 (default) matches the particle grid.
 
-    ``lattice_B`` (force_factor == 1 only) enables the roll-based lattice
-    CIC paint/gather (fields/lattice_cic.py): exact whenever every
-    particle stays within ``lattice_B`` cells of its Lagrangian site —
-    checked at runtime per force evaluation, with a ``lax.cond`` fallback
-    to the scatter path.  ``None`` disables.
+    ``lattice_B`` (force_factor == 1 only) enables the lattice CIC
+    paint/gather with an ADAPTIVE band ladder: each force evaluation
+    measures max|displacement| and ``lax.switch``es to the smallest band
+    B' <= lattice_B that covers it (kernel cost grows ~(2B+2)^3, and
+    early steps need only B'=1), falling back to the exact scatter path
+    beyond ``lattice_B``.  ``None`` disables.  ``lattice_impl`` selects
+    the lowering: ``"pallas"`` (fused VMEM kernels,
+    ops/pallas/lattice_cic.py), ``"xla"`` (periodic-roll formulation,
+    fields/lattice_cic.py), or ``"auto"`` (pallas off CPU).
 
     With ``diagnostics=True`` a third return value carries per-step probe
     arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
     each force evaluation), ``frac_out`` (fraction of displacement
-    components beyond ``lattice_B``) and ``used_lattice`` (which cond
-    branch the engine took) — the instrumentation for the 256^3 growth
-    puzzle (CLAUDE.md).
+    components beyond ``lattice_B``) and ``used_lattice`` (ladder branch
+    index per step: 0.. selects band 1..lattice_B, len(bands) means the
+    scatter fallback ran, -1 means lattice disabled).
 
     Returns:
         (delta_x, vel[, diag]) where delta_x is the CIC density contrast on
@@ -201,17 +206,21 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
         [d1_init, d2_init, fac_pm, a2H * f1_f * D1_f, a2H * f2_f * D2_f,
          1.0 / a_final], dtype)
 
+    if lattice_impl == "auto":
+        lattice_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if lattice_impl not in ("xla", "pallas"):
+        raise ValueError(f"Unknown lattice_impl '{lattice_impl}'")
     evolve = _build_evolve(grid, int(force_factor),
                            None if lattice_B is None else int(lattice_B),
                            dtype.name, bool(keep_velocities),
-                           bool(diagnostics))
+                           bool(diagnostics), lattice_impl)
     return evolve(q, p1, p2, step_consts, scal)
 
 
 @lru_cache(maxsize=8)
 def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                   dtype_name: str, keep_velocities: bool,
-                  diagnostics: bool = False):
+                  diagnostics: bool = False, lattice_impl: str = "xla"):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime
@@ -227,9 +236,27 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
     # and every wrapped displacement fits the static bound — checked per
     # call, with a lax.cond fallback to the exact scatter path.
     use_lattice = (force_factor == 1 and lattice_B is not None)
+    # Adaptive band ladder: the kernel cost grows ~(2B+2)^3, while max|d|
+    # grows smoothly over the evolution (0.2 -> 2.4 cells at 256^3/4Gpc),
+    # so each force evaluation picks the smallest band covering the
+    # CURRENT displacements via lax.switch; beyond the widest band the
+    # exact scatter path runs.
+    bands = () if not use_lattice else tuple(
+        b for b in range(1, int(lattice_B) + 1) if 2 * b + 2 <= N)
     if use_lattice or diagnostics:
-        from .lattice_cic import (cic_gather_lattice, cic_paint_lattice,
-                                  wrapped_displacement)
+        from .lattice_cic import wrapped_displacement
+        if lattice_impl == "pallas":
+            from ..ops.pallas import lattice_cic as plc
+
+            # interpret mode lets the fused kernels run (slowly) on CPU,
+            # for tests; on TPU they compile to real Mosaic kernels.
+            _interp = jax.default_backend() == "cpu"
+            cic_paint_lattice = partial(plc.cic_paint_lattice_pallas,
+                                        interpret=_interp)
+            cic_gather_lattice = partial(plc.cic_gather_lattice_pallas,
+                                         interpret=_interp)
+        else:
+            from .lattice_cic import cic_gather_lattice, cic_paint_lattice
 
     Nf = N * force_factor
     cell_f = grid.Lx / Nf
@@ -277,22 +304,28 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
         else:
             kcut = None
 
+        def band_index(maxd):
+            """Smallest ladder band covering maxd; len(bands) -> scatter."""
+            idx = jnp.int32(0)
+            for b in bands:
+                idx = idx + (maxd > dtype.type(b)).astype(jnp.int32)
+            return idx
+
         def pm_force(x, a):
             u = x / cell_f
             diag = None
             if use_lattice:
                 d = wrapped_displacement(u.reshape(N, N, N, 3), N)
                 maxd = jnp.max(jnp.abs(d))
-                ok = maxd <= dtype.type(lattice_B)
+                idx = band_index(maxd)
                 if diagnostics:
                     frac = jnp.mean(
                         (jnp.abs(d) > dtype.type(lattice_B)).astype(dtype))
-                    diag = (maxd, frac, ok)
-                rho = lax.cond(
-                    ok,
-                    lambda _: cic_paint_lattice(d, B=lattice_B),
-                    lambda _: cic_paint_particles(u, Nf),
-                    None)
+                    diag = (maxd, frac, idx)
+                rho = lax.switch(
+                    idx,
+                    [partial(cic_paint_lattice, d, B=b) for b in bands]
+                    + [partial(cic_paint_particles, u, Nf)])
             else:
                 if diagnostics:
                     d_p = wrapped_displacement((x / cell).reshape(N, N, N, 3),
@@ -301,7 +334,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                                       else 2)
                     diag = (jnp.max(jnp.abs(d_p)),
                             jnp.mean((jnp.abs(d_p) > bref).astype(dtype)),
-                            jnp.asarray(False))
+                            jnp.int32(-1))
                 rho = cic_paint_particles(u, Nf)
             delta = rho / mean_per_cell - 1.0
             dk = fft_safe.rfftn(delta)
@@ -318,16 +351,17 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             Fy = fft_safe.irfftn(base * kx_d[None, :, None], s=(Nf, Nf, Nf))
             Fz = fft_safe.irfftn(base * kz_d[None, None, :], s=(Nf, Nf, Nf))
             if use_lattice:
-                def g_lat(_):
+                def g_lat(b):
                     return jnp.stack(
-                        [cic_gather_lattice(F, d, B=lattice_B).reshape(-1)
+                        [cic_gather_lattice(F, d, B=b).reshape(-1)
                          for F in (Fx, Fy, Fz)], axis=-1)
 
-                def g_sc(_):
+                def g_sc():
                     return jnp.stack(
                         [cic_gather(F, u) for F in (Fx, Fy, Fz)], axis=-1)
 
-                return lax.cond(ok, g_lat, g_sc, None), diag
+                return lax.switch(
+                    idx, [partial(g_lat, b) for b in bands] + [g_sc]), diag
             return jnp.stack([
                 cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
             ], axis=-1), diag
@@ -349,16 +383,18 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
         u = x / cell
         if use_lattice:
             d_fin = wrapped_displacement(u.reshape(N, N, N, 3), N)
-            ok_fin = jnp.max(jnp.abs(d_fin)) <= dtype.type(lattice_B)
+            idx_fin = band_index(jnp.max(jnp.abs(d_fin)))
 
             def paint_fin(w):
-                return lax.cond(
-                    ok_fin,
-                    lambda _: cic_paint_lattice(
-                        d_fin, B=lattice_B,
-                        weights=None if w is None else w.reshape(N, N, N)),
-                    lambda _: cic_paint_particles(u, N, weights=w),
-                    None)
+                def lat(b):
+                    return cic_paint_lattice(
+                        d_fin, B=b,
+                        weights=None if w is None else w.reshape(N, N, N))
+
+                return lax.switch(
+                    idx_fin,
+                    [partial(lat, b) for b in bands]
+                    + [partial(cic_paint_particles, u, N, weights=w)])
         else:
             def paint_fin(w):
                 return cic_paint_particles(u, N, weights=w)

@@ -96,6 +96,17 @@ def _stage_mats(n: int, sign: int, dtype_name: str):
     return mats
 
 
+def _as_complex(W):
+    """Bring a host complex constant on device as a real pair.
+
+    A direct complex transfer is UNIMPLEMENTED on the axon backend, so
+    eager calls would die shipping the DFT matrices; combining two real
+    transfers with ``lax.complex`` works eagerly and jitted alike.
+    """
+    return jax.lax.complex(jnp.asarray(np.ascontiguousarray(W.real)),
+                           jnp.asarray(np.ascontiguousarray(W.imag)))
+
+
 def _dft_last(x, n: int, sign: int):
     """DFT along the last axis via the matmul ladder (recursive radix)."""
     cdtype = "complex128" if x.dtype == jnp.complex128 else "complex64"
@@ -103,11 +114,12 @@ def _dft_last(x, n: int, sign: int):
 
     def rec(x, level):
         n1, n2, W1, T = mats[level]
+        W1 = _as_complex(W1)
         if n2 == 1:
             return jnp.einsum("...a,ab->...b", x, W1, precision=_PREC)
         xs = x.reshape(x.shape[:-1] + (n1, n2))
         A = jnp.einsum("...ab,ac->...cb", xs, W1, precision=_PREC)
-        B = A * T  # broadcast over leading dims
+        B = A * _as_complex(T)          # broadcast over leading dims
         X = rec(B, level + 1)           # shape (..., k1, k2)
         X = jnp.swapaxes(X, -1, -2)     # k = k2*n1 + k1
         return X.reshape(x.shape[:-1] + (n1 * n2,))

@@ -45,6 +45,38 @@ def default_kbins(grid: GridSpec, nbins: int = 20) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("grid",))
+def _binned_pk_half_core(grid: GridSpec, delta_x, bins):
+    """Half-spectrum lowering of the reference binning: one rank-3 R2C
+    plus a kz-multiplicity-weighted histogram reproduces the full-grid
+    sums exactly (interior kz planes appear twice in the full grid with
+    identical |delta_k|^2; the kz=0 and Nyquist planes once)."""
+    from .reduce import binned_weighted_sum_sumsq_count
+
+    rdtype = delta_x.dtype
+    N = grid.N
+    H = N // 2 + 1
+    half = fft_safe.rfftn(delta_x)
+    pk = (half * jnp.conj(half)).real / jnp.asarray(grid.boxfactor, rdtype)
+    kx, ky, kz = grid.kvec(rdtype)
+    kmag = jnp.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                    + kz[:H][None, None, :] ** 2)
+    idx = jnp.searchsorted(bins.astype(rdtype), kmag.ravel(), side="right")
+    w = np.full(H, 2.0)
+    w[0] = 1.0
+    if N % 2 == 0:
+        w[-1] = 1.0
+    wf = jnp.broadcast_to(jnp.asarray(w, rdtype)[None, None, :], pk.shape)
+    nb = bins.shape[0]
+    sums, sumsqs, counts = binned_weighted_sum_sumsq_count(
+        pk.ravel(), wf.ravel(), idx.astype(jnp.int32), nb)
+    vals = sums / counts
+    var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
+    var = jnp.where(counts > 1, var, 0.0)
+    stddev = jnp.sqrt(var) / jnp.sqrt(counts)
+    return vals, stddev
+
+
+@partial(jax.jit, static_argnames=("grid",))
 def _binned_pk_core(grid: GridSpec, delta_k, bins):
     rdtype = jnp.real(delta_k).dtype
     pk = (delta_k * jnp.conj(delta_k)).real / jnp.asarray(grid.boxfactor, rdtype)
@@ -81,16 +113,17 @@ def binned_power_spectrum(
     """
     if delta_x is not None and delta_k is not None:
         raise ValueError("delta_x and delta_k specified; can only specify one")
-    if delta_k is None:
-        delta_k = fft_safe.fftn(delta_x)
-    rdtype = jnp.real(delta_k).dtype
-
     bins = np.asarray(kbins if kbins is not None else default_kbins(grid, nbins),
                       dtype=np.float64)
     _bins = np.concatenate([[0.0], bins])
     cent = 0.5 * (_bins[1:] + _bins[:-1])
 
-    vals, stddev = _binned_pk_core(grid, delta_k, jnp.asarray(bins))
+    if delta_k is None:
+        rdtype = jnp.asarray(delta_x).dtype
+        vals, stddev = _binned_pk_half_core(grid, delta_x, jnp.asarray(bins))
+    else:
+        rdtype = jnp.real(delta_k).dtype
+        vals, stddev = _binned_pk_core(grid, delta_k, jnp.asarray(bins))
 
     # First value is garbage (k < kmin modes incl. k=0); throw it away
     return jnp.asarray(cent[1:], rdtype), vals[1:], stddev[1:]

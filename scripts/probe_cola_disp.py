@@ -34,7 +34,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nsamp", type=int, default=256)
     p.add_argument("--box", type=float, default=4000.0)
-    p.add_argument("--lattice-B", type=int, default=2)
+    p.add_argument("--lattice-B", type=int, default=3)
     p.add_argument("--no-lattice", action="store_true",
                    help="probe the pure scatter engine instead")
     p.add_argument("--redshift", type=float, default=0.0)
@@ -67,8 +67,11 @@ def main():
     maxd = np.asarray(diag["maxdisp"])
     frac = np.asarray(diag["frac_out"])
     used = np.asarray(diag["used_lattice"])
+    B = args.lattice_B
     for i in range(maxd.size):
-        branch = "lattice" if used[i] else "scatter"
+        u = int(used[i])
+        branch = ("disabled" if u < 0
+                  else f"lattice B={u + 1}" if u < B else "scatter")
         print(f"step {i:2d}: max|d| = {maxd[i]:8.3f} cells   "
               f"frac>B = {frac[i]:.3e}   branch = {branch}")
     print(f"final max|d| = {float(diag['final_maxdisp']):.3f} cells")

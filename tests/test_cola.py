@@ -154,3 +154,19 @@ def test_cola_finer_force_mesh_force_accuracy():
                                  force_factor=2)
     assert np.all(np.isfinite(np.asarray(d2)))
     assert float(jnp.std(d2)) < 1.8 * float(jnp.std(d1))
+
+
+def test_cola_pallas_lattice_matches_xla(cosmo_z0):
+    """The fused Pallas lattice-CIC engine (interpret mode on CPU) must
+    reproduce the XLA-roll engine bit-for-bit at f64 on a tiny box."""
+    from fastbox_tpu.grid import GridSpec
+
+    grid = GridSpec.create(box_scale=(200.0,) * 3, nsamp=16, redshift=0.0)
+    kw = dict(redshift_init=3.0, n_steps=3, dtype=jnp.float64,
+              keep_velocities=False, lattice_B=2)
+    d_xla, _ = realise_density_cola(jax.random.PRNGKey(5), grid, cosmo_z0,
+                                    lattice_impl="xla", **kw)
+    d_pl, _ = realise_density_cola(jax.random.PRNGKey(5), grid, cosmo_z0,
+                                   lattice_impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_xla),
+                               rtol=1e-10, atol=1e-10)
