@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--batch", type=int, default=1,
                     help="vmap this many pipelines per step (ensemble mode)")
+    ap.add_argument("--chain", type=int, default=4,
+                    help="scan this many pipelines per dispatch (amortises "
+                         "the ~5 ms tunnel launch overhead; 1 = one "
+                         "program per realisation)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +62,11 @@ def main():
 
         fn_b = make_ensemble_pipeline(grid, cosmology, config)
         fn = lambda key: fn_b(jax.random.split(key, args.batch))
+    elif args.chain > 1:
+        from fastbox_tpu.pipeline import make_chained_pipeline
+
+        fn_c = make_chained_pipeline(grid, cosmology, config)
+        fn = lambda key: fn_c(jax.random.split(key, args.chain))
     else:
         fn = make_pipeline(grid, cosmology, config)
 
@@ -80,9 +89,9 @@ def main():
     np.asarray(outs[-1]["pk_cleaned"])
     dt = time.perf_counter() - t0
 
-    rate = args.iters * args.batch / dt
+    rate = args.iters * args.batch * args.chain / dt
     if args.verbose:
-        pk = np.asarray(outs[-1]["pk_cleaned"])
+        pk = np.asarray(outs[-1]["pk_cleaned"]).reshape(-1)
         print(f"# {dt:.3f}s for {args.iters} pipelines at {args.nsamp}^3 "
               f"on {jax.devices()[0].platform}; pk head: {pk[:3]}")
 

@@ -75,8 +75,15 @@ def _is_cpu():
     return jax.default_backend() == "cpu"
 
 
+# Off-CPU: route even the probed-OK cube transforms to the matmul DFTs.
+# The matmul forward measured FASTER than the native forward at 256^3
+# (2.2 vs 3.0 ms); flip this to trade a little accuracy headroom
+# (matmul ~3e-5 vs native ~5e-7 relative) for throughput.
+PREFER_MM = False
+
+
 def _native_allowed():
-    return _is_cpu() or not _FORCE_MM
+    return _is_cpu() or not (_FORCE_MM or PREFER_MM)
 
 
 @lru_cache(maxsize=64)

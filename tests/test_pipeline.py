@@ -128,3 +128,19 @@ def test_ensemble_pipeline_sharded(cosmo_z08):
     keys = jax.random.split(jax.random.PRNGKey(3), 8)
     out = fn(keys)
     assert np.asarray(out["pk_cleaned"]).shape == (8, 7)
+
+
+def test_chained_pipeline_matches_single(cosmo_z08):
+    """make_chained_pipeline stacks exactly the single-shot outputs."""
+    from fastbox_tpu.pipeline import make_chained_pipeline
+
+    config = PipelineConfig(dtype="float64", nbins=8)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    single = make_pipeline(GRID, cosmo_z08, config)
+    chained = make_chained_pipeline(GRID, cosmo_z08, config)
+    outs = chained(keys)
+    for i, k in enumerate(keys):
+        ref = single(k)
+        np.testing.assert_allclose(np.asarray(outs["pk_cleaned"])[i],
+                                   np.asarray(ref["pk_cleaned"]),
+                                   rtol=1e-12, equal_nan=True)
