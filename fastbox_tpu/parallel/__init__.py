@@ -1,13 +1,19 @@
 """Multi-chip scaling: device meshes, distributed FFTs, SPMD pipelines."""
+from .cola import make_sharded_cola
 from .fft import pfft2_local, pfft3_local, pifft2_local, pifft3_local
+from .lattice import halo_extend, halo_gather, halo_paint
 from .mesh import make_mesh
 from .sharded import make_sharded_ensemble_step
 
 __all__ = [
+    "halo_extend",
+    "halo_gather",
+    "halo_paint",
+    "make_mesh",
+    "make_sharded_cola",
+    "make_sharded_ensemble_step",
     "pfft2_local",
     "pfft3_local",
     "pifft2_local",
     "pifft3_local",
-    "make_mesh",
-    "make_sharded_ensemble_step",
 ]

@@ -1,0 +1,133 @@
+"""Slab-sharded COLA engine tests on the virtual 8-device CPU mesh.
+
+Three layers of validation:
+  * the halo-exchange lattice CIC primitives are EXACT against the
+    single-device roll formulation (fields/lattice_cic.py) on matched
+    inputs;
+  * the full sharded engine is device-count invariant (rows-keyed ICs make
+    the realisation a function of the key alone, so 2-shard and 4-shard
+    runs must agree to FFT roundoff);
+  * the evolved field carries the right physics (growth vs linear theory
+    on large scales, same criterion as tests/test_cola.py for the
+    single-chip engine vs the reference's pycola3 path, box.py:463-589).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from fastbox_tpu.cosmology import build_cosmology
+from fastbox_tpu.fields.lattice_cic import (cic_gather_lattice,
+                                            cic_paint_lattice)
+from fastbox_tpu.grid import GridSpec
+from fastbox_tpu.parallel import halo_gather, halo_paint, make_sharded_cola
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _space_mesh(space=4):
+    devs = np.asarray(jax.devices()[:space]).reshape(space)
+    return Mesh(devs, ("space",))
+
+
+def _bounded_disp(rng, N, B):
+    """Random displacements strictly inside the band."""
+    return (rng.uniform(-1.0, 1.0, (N, N, N, 3)) * (B - 0.01)).astype(
+        np.float64)
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_halo_paint_matches_single_device(B):
+    N, space = 16, 4
+    rng = np.random.default_rng(5)
+    disp = jnp.asarray(_bounded_disp(rng, N, B))
+    w = jnp.asarray(rng.standard_normal((N, N, N)))
+
+    mesh = _space_mesh(space)
+    f = shard_map(
+        lambda d, w: halo_paint(d, B, "space", space, weights=w),
+        mesh=mesh, in_specs=(P("space"), P("space")),
+        out_specs=P("space"), check_vma=False)
+    got = np.asarray(jax.jit(f)(disp, w))
+    want = np.asarray(cic_paint_lattice(disp, B=B, weights=w))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # Unweighted paint conserves total mass exactly
+    g2 = shard_map(lambda d: halo_paint(d, B, "space", space), mesh=mesh,
+                   in_specs=P("space"), out_specs=P("space"),
+                   check_vma=False)
+    rho = np.asarray(jax.jit(g2)(disp))
+    assert abs(rho.sum() - N**3) < 1e-8
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_halo_gather_matches_single_device(B):
+    N, space = 16, 4
+    rng = np.random.default_rng(9)
+    disp = jnp.asarray(_bounded_disp(rng, N, B))
+    mesh_field = jnp.asarray(rng.standard_normal((N, N, N)))
+
+    mesh = _space_mesh(space)
+    f = shard_map(
+        lambda m, d: halo_gather(m, d, B, "space", space),
+        mesh=mesh, in_specs=(P("space"), P("space")),
+        out_specs=P("space"), check_vma=False)
+    got = np.asarray(jax.jit(f)(mesh_field, disp))
+    want = np.asarray(cic_gather_lattice(mesh_field, disp, B=B))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_cola_device_count_invariance(cosmo_z0):
+    """Same key, 2 vs 4 shards -> identical field (rows-keyed ICs; the
+    only difference is all-to-all decomposition, i.e. FFT roundoff)."""
+    N = 32
+    grid = GridSpec.create(box_scale=(500.0,) * 3, nsamp=N, redshift=0.0)
+    key = jax.random.PRNGKey(42)
+    outs = {}
+    for space in (2, 4):
+        fn = make_sharded_cola(_space_mesh(space), grid, cosmo_z0,
+                               redshift_init=9.0, n_steps=5,
+                               dtype=jnp.float64, lattice_B=3)
+        outs[space] = jax.tree.map(np.asarray, fn(key))
+    np.testing.assert_allclose(outs[2]["delta_x"], outs[4]["delta_x"],
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(outs[2]["vel"], outs[4]["vel"],
+                               rtol=1e-7, atol=1e-6)
+    assert abs(outs[2]["max_disp"] - outs[4]["max_disp"]) < 1e-8
+
+
+def test_sharded_cola_growth_physics(cosmo_z0):
+    """Large-scale P(k) of the evolved field tracks linear theory and the
+    displacement bound holds (the lattice path's validity condition)."""
+    N = 48
+    L = 940.0  # ~19.6 Mpc cells: max|d| ~ 2 cells, inside B=3
+    grid = GridSpec.create(box_scale=(L,) * 3, nsamp=N, redshift=0.0)
+    fn = make_sharded_cola(_space_mesh(4), grid, cosmo_z0,
+                           redshift_init=15.0, dtype=jnp.float64,
+                           lattice_B=3, keep_velocities=False)
+    out = fn(jax.random.PRNGKey(7))
+    maxd = float(out["max_disp"])
+    assert maxd <= 3.0, f"displacement {maxd} exceeded lattice_B"
+
+    delta = np.asarray(out["delta_x"])
+    assert np.isfinite(delta).all()
+    assert abs(delta.mean()) < 1e-8
+
+    # Binned P(k) on the largest scales vs linear theory.  At this PM
+    # resolution the single-chip engine measures P/P_lin = 0.745 in the
+    # same band on the same grid (0.726 here; the residual difference is
+    # the rows-keyed vs full-cube IC draw) — the bounds catch unit and
+    # normalisation errors, which shift the ratio by 2x or more.
+    dk = np.fft.rfftn(delta)
+    kf = 2.0 * np.pi * np.fft.fftfreq(N, d=1.0 / N) / L
+    kmag = np.sqrt(kf[:, None, None] ** 2 + kf[None, :, None] ** 2
+                   + kf[None, None, : N // 2 + 1] ** 2)
+    pk3 = np.abs(dk) ** 2 / grid.boxfactor
+    klo, khi = 2.5 * 2 * np.pi / L, 0.05
+    sel = (kmag > klo) & (kmag < khi)
+    pk_meas = pk3[sel].mean()
+    pk_lin = np.asarray(cosmo_z0.pk_lin(jnp.asarray(kmag[sel]))).mean()
+    ratio = pk_meas / pk_lin
+    assert 0.5 < ratio < 1.4, f"P(k)/P_lin = {ratio}"
