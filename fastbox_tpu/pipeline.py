@@ -85,6 +85,12 @@ class PipelineConfig:
     # realisations that are IDENTICAL between the single-chip pipeline and
     # the sharded ensemble step (any mesh shape) for the same key.
     noise_scheme: str = "half"
+    # Fuse the (delta_x, vel_z) inverse transforms into ONE complex MXU
+    # inverse (ops/mmfft.irfftn_pair: irfft(a + i b) -> (Re, Im)) instead
+    # of two native C2R dispatches.  A perf knob for the TPU FFT wall —
+    # bit-identical statistics, ~1e-5 relative f32 difference from the
+    # different summation order.
+    fft_pair: bool = False
 
 
 def _hi_bias(z):
@@ -201,20 +207,29 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         else:
             white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
         delta_k = white_h * amp_half
-        delta_x = fft_safe.irfftn(delta_k, s=grid.shape).astype(dtype)
 
-        # (2) bias + log-normal
-        delta_ln = transforms.lognormal(delta_x * bias)
-
-        # (3) LOS velocity from the Gaussian field (z component only);
-        # k-weights built on the fly (XLA fuses the broadcasts)
+        # (3, hoisted) LOS velocity spectrum from the Gaussian field
+        # (z component only); k-weights built on the fly (XLA fuses the
+        # broadcasts)
         k2 = (kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
               + kz_half[None, None, :] ** 2)
         inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
         vz_k = (1j * delta_k) * (dtype.type(vel_fac)
                                  * kz_half[None, None, :] * inv_k2)
         vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
-        vel_z = fft_safe.irfftn(vz_k, s=grid.shape).astype(dtype)
+
+        if config.fft_pair:
+            from .ops import mmfft
+
+            delta_x, vel_z = mmfft.irfftn_pair(delta_k, vz_k, s=grid.shape)
+            delta_x = delta_x.astype(dtype)
+            vel_z = vel_z.astype(dtype)
+        else:
+            delta_x = fft_safe.irfftn(delta_k, s=grid.shape).astype(dtype)
+            vel_z = fft_safe.irfftn(vz_k, s=grid.shape).astype(dtype)
+
+        # (2) bias + log-normal
+        delta_ln = transforms.lognormal(delta_x * bias)
 
         # (4) RSD remap
         if rows_mode and config.sigma_nl > 0.0:

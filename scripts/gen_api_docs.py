@@ -68,6 +68,8 @@ MODULES = [
     "fastbox_tpu.parallel.fft",
     "fastbox_tpu.parallel.sharded",
     "fastbox_tpu.parallel.rng",
+    "fastbox_tpu.parallel.lattice",
+    "fastbox_tpu.parallel.cola",
 ]
 
 

@@ -144,3 +144,21 @@ def test_chained_pipeline_matches_single(cosmo_z08):
         np.testing.assert_allclose(np.asarray(outs["pk_cleaned"])[i],
                                    np.asarray(ref["pk_cleaned"]),
                                    rtol=1e-12, equal_nan=True)
+
+
+def test_fft_pair_matches_default(cosmo_z08):
+    """fft_pair=True (one complex MXU inverse for delta_x + vel_z) must
+    reproduce the two-dispatch default to FFT roundoff."""
+    keys = jax.random.PRNGKey(5)
+    base = make_pipeline(GRID, cosmo_z08,
+                         PipelineConfig(dtype="float64", nbins=8))
+    pair = make_pipeline(GRID, cosmo_z08,
+                         PipelineConfig(dtype="float64", nbins=8,
+                                        fft_pair=True))
+    a = base(keys)
+    b = pair(keys)
+    np.testing.assert_allclose(np.asarray(a["pk_cleaned"]),
+                               np.asarray(b["pk_cleaned"]),
+                               rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(float(a["sigma_data"]),
+                               float(b["sigma_data"]), rtol=1e-10)
