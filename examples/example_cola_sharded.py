@@ -22,6 +22,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_fastbox"))
+# The axon TPU plugin overrides JAX_PLATFORMS (CLAUDE.md); re-assert the
+# env var through the config so the documented CPU invocation works.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np
@@ -62,7 +66,7 @@ def main():
           f"{float(out['max_disp']):.2f} cells (must stay <= lattice_B)")
     print(f"std(delta) = {float(jnp.std(delta)):.3f}")
 
-    k, pk, _ = binned_power_spectrum(delta, grid, nbins=12)
+    k, pk, _ = binned_power_spectrum(grid, delta_x=delta, nbins=12)
     pk_lin = np.asarray(cosmology.pk_lin(jnp.asarray(k)))
     with np.printoptions(precision=3, suppress=False):
         print("k        :", np.asarray(k)[:6])

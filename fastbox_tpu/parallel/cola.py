@@ -52,7 +52,8 @@ __all__ = ["make_sharded_cola"]
 def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                       redshift=None, redshift_init: float = 15.0,
                       n_steps: int | None = None, dtype=jnp.float32,
-                      lattice_B: int = 3, keep_velocities: bool = True):
+                      lattice_B: int = 3, keep_velocities: bool = True,
+                      pk_nbins: int | None = None):
     """Build the jitted slab-sharded COLA realisation.
 
     Returns ``fn(key) -> dict`` with ``delta_x`` (N,N,N) global array
@@ -60,6 +61,12 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     velocities in km/s (or None), and ``max_disp`` — the global maximum
     wrapped displacement in cells over the whole evolution, which callers
     should check stays ``<= lattice_B``.
+
+    With ``pk_nbins`` the binned power spectrum of the evolved field is
+    reduced IN-PROGRAM (psum over slabs, the box.py:696-768 convention)
+    and returned as ``k``/``pk``/``pk_err`` — at >= 1024^3 the cube never
+    needs to leave the devices (host transfers are the scaling killer;
+    see CLAUDE.md on the 16 MB/s tunnel).
 
     Parameters mirror ``fields.cola.realise_density_cola`` minus
     ``force_factor`` (the force mesh always matches the particle grid) and
@@ -124,6 +131,18 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     w1 = np.where(kf == 0.0, 1.0, s) ** 2
     w1z = w1[:Hh].copy()
     boxfactor = grid.boxfactor
+
+    if pk_nbins is not None:
+        from ..ops.spectra import default_kbins
+
+        kbins = default_kbins(grid, pk_nbins)
+        _edges = np.concatenate([[0.0], kbins])
+        kcent = 0.5 * (_edges[1:] + _edges[:-1])
+        # kz-multiplicity weights for the half-spectrum reduction
+        kz_weight = np.full(Hh, 2.0)
+        kz_weight[0] = 1.0
+        if N % 2 == 0:
+            kz_weight[-1] = 1.0
 
     def step_fn(key):
         s_idx = lax.axis_index("space")
@@ -224,6 +243,25 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         delta_x = pirfft3_local(rk[None], N, "space")[0].astype(dtype)
 
         out = {"delta_x": delta_x, "max_disp": maxd}
+        if pk_nbins is not None:
+            from ..ops.reduce import binned_weighted_sum_sumsq_count
+
+            p = (rk * jnp.conj(rk)).real / dtype.type(boxfactor)
+            idx = jnp.searchsorted(jnp.asarray(kbins, dtype),
+                                   jnp.sqrt(k2).ravel(), side="right")
+            wgt = jnp.broadcast_to(
+                jnp.asarray(kz_weight, dtype)[None, None, :], p.shape).ravel()
+            sums, sumsqs, counts = binned_weighted_sum_sumsq_count(
+                p.ravel(), wgt, idx.astype(jnp.int32), pk_nbins)
+            sums = lax.psum(sums, "space")
+            sumsqs = lax.psum(sumsqs, "space")
+            counts = lax.psum(counts, "space")
+            pk_mean = sums / counts
+            var = jnp.maximum(sumsqs / counts - pk_mean**2, 0.0)
+            var = jnp.where(counts > 1, var, 0.0)
+            out["k"] = jnp.asarray(kcent[1:], dtype)
+            out["pk"] = pk_mean[1:]
+            out["pk_err"] = (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
         if keep_velocities:
             p_tot = v + pfac1 * p1 + pfac2 * p2
             out["vel"] = jnp.stack([
@@ -238,6 +276,10 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     out_specs = {"delta_x": P("space"), "max_disp": P()}
     if keep_velocities:
         out_specs["vel"] = P(None, "space")
+    if pk_nbins is not None:
+        out_specs["k"] = P()
+        out_specs["pk"] = P()
+        out_specs["pk_err"] = P()
     sharded = shard_map(
         step_fn,
         mesh=mesh,

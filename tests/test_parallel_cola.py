@@ -131,3 +131,25 @@ def test_sharded_cola_growth_physics(cosmo_z0):
     pk_lin = np.asarray(cosmo_z0.pk_lin(jnp.asarray(kmag[sel]))).mean()
     ratio = pk_meas / pk_lin
     assert 0.5 < ratio < 1.4, f"P(k)/P_lin = {ratio}"
+
+
+def test_sharded_cola_inprogram_pk(cosmo_z0):
+    """pk_nbins reduces the binned spectrum in-program (psum over slabs);
+    it must equal the standalone estimator run on the returned cube."""
+    from fastbox_tpu.ops.spectra import binned_power_spectrum
+
+    N = 32
+    grid = GridSpec.create(box_scale=(500.0,) * 3, nsamp=N, redshift=0.0)
+    fn = make_sharded_cola(_space_mesh(4), grid, cosmo_z0,
+                           redshift_init=9.0, n_steps=4, dtype=jnp.float64,
+                           lattice_B=3, keep_velocities=False, pk_nbins=10)
+    out = fn(jax.random.PRNGKey(3))
+    k_ref, pk_ref, err_ref = binned_power_spectrum(
+        grid, delta_x=jnp.asarray(np.asarray(out["delta_x"])), nbins=10)
+    np.testing.assert_allclose(np.asarray(out["k"]), np.asarray(k_ref),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["pk"]), np.asarray(pk_ref),
+                               rtol=1e-8, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(out["pk_err"]),
+                               np.asarray(err_ref), rtol=1e-6,
+                               equal_nan=True, atol=1e-12)
