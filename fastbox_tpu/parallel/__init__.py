@@ -4,6 +4,8 @@ from .fft import pfft2_local, pfft3_local, pifft2_local, pifft3_local
 from .lattice import halo_extend, halo_gather, halo_paint
 from .mesh import make_mesh
 from .sharded import make_sharded_ensemble_step
+from .spectra import (make_sharded_correlation, make_sharded_power_multipoles,
+                      make_sharded_power_spectrum)
 
 __all__ = [
     "halo_extend",
@@ -11,7 +13,10 @@ __all__ = [
     "halo_paint",
     "make_mesh",
     "make_sharded_cola",
+    "make_sharded_correlation",
     "make_sharded_ensemble_step",
+    "make_sharded_power_multipoles",
+    "make_sharded_power_spectrum",
     "pfft2_local",
     "pfft3_local",
     "pifft2_local",

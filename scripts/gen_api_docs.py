@@ -70,6 +70,7 @@ MODULES = [
     "fastbox_tpu.parallel.rng",
     "fastbox_tpu.parallel.lattice",
     "fastbox_tpu.parallel.cola",
+    "fastbox_tpu.parallel.spectra",
 ]
 
 
