@@ -60,6 +60,7 @@ def main():
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
+        args.chain = 1  # ensemble mode: the chain branch never runs
         fn_b = make_ensemble_pipeline(grid, cosmology, config)
         fn = lambda key: fn_b(jax.random.split(key, args.batch))
     elif args.chain > 1:
@@ -69,6 +70,7 @@ def main():
         fn = lambda key: fn_c(jax.random.split(key, args.chain))
     else:
         fn = make_pipeline(grid, cosmology, config)
+    per_iter = args.batch * args.chain  # realisations per timed iteration
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.iters)
 
@@ -89,11 +91,12 @@ def main():
     np.asarray(outs[-1]["pk_cleaned"])
     dt = time.perf_counter() - t0
 
-    rate = args.iters * args.batch * args.chain / dt
+    rate = args.iters * per_iter / dt
     if args.verbose:
         pk = np.asarray(outs[-1]["pk_cleaned"]).reshape(-1)
-        print(f"# {dt:.3f}s for {args.iters} pipelines at {args.nsamp}^3 "
-              f"on {jax.devices()[0].platform}; pk head: {pk[:3]}")
+        print(f"# {dt:.3f}s for {args.iters * per_iter} pipelines at "
+              f"{args.nsamp}^3 on {jax.devices()[0].platform}; "
+              f"pk head: {pk[:3]}")
 
     print(json.dumps({
         "metric": f"{args.nsamp}^3 realize->RSD->filter->P(k) pipelines/sec/chip",

@@ -1,7 +1,8 @@
 """Multi-chip scaling: device meshes, distributed FFTs, SPMD pipelines."""
 from .cola import make_sharded_cola
 from .fft import pfft2_local, pfft3_local, pifft2_local, pifft3_local
-from .lattice import halo_extend, halo_gather, halo_paint
+from .lattice import (halo_extend, halo_gather, halo_gather_many, halo_paint,
+                      halo_paint_many)
 from .mesh import make_mesh
 from .sharded import make_sharded_ensemble_step
 from .spectra import (make_sharded_correlation, make_sharded_power_multipoles,
@@ -10,7 +11,9 @@ from .spectra import (make_sharded_correlation, make_sharded_power_multipoles,
 __all__ = [
     "halo_extend",
     "halo_gather",
+    "halo_gather_many",
     "halo_paint",
+    "halo_paint_many",
     "make_mesh",
     "make_sharded_cola",
     "make_sharded_correlation",

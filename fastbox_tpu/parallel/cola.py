@@ -43,7 +43,7 @@ from ..grid import GridSpec
 from ..fields.cola import _growth_scalars, _kick_drift_integrals
 from ..cosmology import background as bg
 from .fft import pirfft3_local, prfft3_local
-from .lattice import halo_gather, halo_paint
+from .lattice import halo_gather_many, halo_paint, halo_paint_many
 from .rng import TAGS, row_normal
 
 __all__ = ["make_sharded_cola"]
@@ -176,14 +176,22 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
 
         phi1_k = delta_k0 * inv_k2
         psi1 = gradient(phi1_k)
-        # Second derivatives phi1_ij = irfft(-k_i k_j phi1_k), batched
+        # Second derivatives phi1_ij = irfft(-k_i k_j phi1_k), batched.
+        # Diagonal terms use the raw k vectors (k_i^2 is even under index
+        # negation everywhere, Nyquist included).  Cross terms use the
+        # NYQUIST-ZEROED vectors: with one factor at the self-negating
+        # Nyquist frequency, k_i k_j is ODD under index negation, i.e.
+        # anti-Hermitian content that the single-chip ifftn(...).real
+        # projection drops (fields/lpt.py:80) but a Hermitian-completion
+        # inverse would keep with a half-dependent sign.
+        ones = jnp.ones_like(k2)
         kk = jnp.stack([
-            kx[:, None, None] * kx[:, None, None] * jnp.ones_like(k2),
-            ky[None, :, None] * ky[None, :, None] * jnp.ones_like(k2),
-            kz[None, None, :] * kz[None, None, :] * jnp.ones_like(k2),
-            kx[:, None, None] * ky[None, :, None] * jnp.ones_like(k2),
-            kx[:, None, None] * kz[None, None, :] * jnp.ones_like(k2),
-            ky[None, :, None] * kz[None, None, :] * jnp.ones_like(k2),
+            kx[:, None, None] * kx[:, None, None] * ones,
+            ky[None, :, None] * ky[None, :, None] * ones,
+            kz[None, None, :] * kz[None, None, :] * ones,
+            kx_d[:, None, None] * ky_d[None, :, None] * ones,
+            kx_d[:, None, None] * kz_d[None, None, :] * ones,
+            ky_d[None, :, None] * kz_d[None, None, :] * ones,
         ])
         d = pirfft3_local(-kk * phi1_k[None], N, "space").astype(dtype)
         S2 = (d[0] * d[1] - d[3] ** 2 + d[0] * d[2] - d[4] ** 2
@@ -214,9 +222,8 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                 base * kz_d[None, None, :],
             ])
             F3 = pirfft3_local(Fk, N, "space").astype(dtype)
-            return jnp.stack(
-                [halo_gather(F3[i], disp, B, "space", nshards)
-                 for i in range(3)], axis=-1)
+            return jnp.moveaxis(
+                halo_gather_many(F3, disp, B, "space", nshards), 0, -1)
 
         def step(carry, consts):
             disp, v, maxd = carry
@@ -264,13 +271,12 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
             out["pk_err"] = (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
         if keep_velocities:
             p_tot = v + pfac1 * p1 + pfac2 * p2
-            out["vel"] = jnp.stack([
-                jnp.where(rho > 0,
-                          halo_paint(disp, B, "space", nshards,
-                                     weights=p_tot[..., c])
-                          / jnp.maximum(rho, dtype.type(1e-10)), 0.0)
-                * inv_af
-                for c in range(3)])
+            mom = halo_paint_many(disp, B, "space", nshards,
+                                  weights=jnp.moveaxis(p_tot, -1, 0))
+            out["vel"] = jnp.where(
+                rho[None] > 0,
+                mom / jnp.maximum(rho, dtype.type(1e-10))[None],
+                0.0) * inv_af
         return out
 
     out_specs = {"delta_x": P("space"), "max_disp": P()}

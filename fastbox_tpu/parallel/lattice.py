@@ -28,7 +28,8 @@ from jax import lax
 
 from ..fields.lattice_cic import _axis_weights
 
-__all__ = ["halo_paint", "halo_gather", "halo_extend"]
+__all__ = ["halo_paint", "halo_gather", "halo_extend",
+           "halo_paint_many", "halo_gather_many"]
 
 
 def _perm_pairs(nshards: int, shift: int):
@@ -89,6 +90,79 @@ def halo_paint(disp, B: int, axis_name: str, nshards: int, weights=None):
     recv_head = lax.ppermute(buf[H + S:], axis_name, _perm_pairs(nshards, +1))
     core = buf[H: H + S]
     return core.at[:H].add(recv_head).at[S - H:].add(recv_tail)
+
+
+def halo_paint_many(disp, B: int, axis_name: str, nshards: int, weights):
+    """``halo_paint`` for a channel stack of weights in ONE halo exchange.
+
+    Parameters as :func:`halo_paint`, but ``weights`` is (C, S, N, N); the
+    C paints share the axis-weight products and the two ppermute strip
+    exchanges (the per-step collectives drop from 2C to 2).
+
+    Returns (C, S, N, N).
+    """
+    S = disp.shape[0]
+    H = B + 1
+    assert S >= H, f"slab height {S} must be >= B+1 = {H}"
+    wx = _axis_weights(disp[..., 0], B)
+    wy = _axis_weights(disp[..., 1], B)
+    wz = _axis_weights(disp[..., 2], B)
+
+    buf = None
+    for ox in range(-B, B + 2):
+        px = wx[ox][None] * weights               # (C, S, N, N)
+        sx = None
+        for oy in range(-B, B + 2):
+            pxy = px * wy[oy][None]
+            sy = None
+            for oz in range(-B, B + 2):
+                t = jnp.roll(pxy * wz[oz][None], oz, axis=3)
+                sy = t if sy is None else sy + t
+            sy = jnp.roll(sy, oy, axis=2)
+            sx = sy if sx is None else sx + sy
+        if buf is None:
+            buf = jnp.zeros(
+                (sx.shape[0], S + 2 * H) + sx.shape[2:], sx.dtype)
+        buf = buf.at[:, H + ox: H + ox + S].add(sx)
+
+    recv_tail = lax.ppermute(buf[:, :H], axis_name, _perm_pairs(nshards, -1))
+    recv_head = lax.ppermute(buf[:, H + S:], axis_name,
+                             _perm_pairs(nshards, +1))
+    core = buf[:, H: H + S]
+    return core.at[:, :H].add(recv_head).at[:, S - H:].add(recv_tail)
+
+
+def halo_gather_many(meshes, disp, B: int, axis_name: str, nshards: int):
+    """``halo_gather`` for a channel stack of meshes in ONE halo exchange.
+
+    ``meshes`` is (C, S, N, N); returns (C, S, N, N).  The C gathers share
+    the axis weights and the single stacked halo extension.
+    """
+    S = meshes.shape[1]
+    H = B + 1
+    assert S >= H, f"slab height {S} must be >= B+1 = {H}"
+    wx = _axis_weights(disp[..., 0], B)
+    wy = _axis_weights(disp[..., 1], B)
+    wz = _axis_weights(disp[..., 2], B)
+
+    prev_tail = lax.ppermute(meshes[:, -H:], axis_name,
+                             _perm_pairs(nshards, +1))
+    next_head = lax.ppermute(meshes[:, :H], axis_name,
+                             _perm_pairs(nshards, -1))
+    ext = jnp.concatenate([prev_tail, meshes, next_head], axis=1)
+
+    out = None
+    for oz in range(-B, B + 2):
+        rz = jnp.roll(ext, -oz, axis=3)
+        for oy in range(-B, B + 2):
+            ryz = jnp.roll(rz, -oy, axis=2)
+            sx = None
+            for ox in range(-B, B + 2):
+                t = wx[ox][None] * ryz[:, H + ox: H + ox + S]
+                sx = t if sx is None else sx + t
+            term = (wy[oy] * wz[oz])[None] * sx
+            out = term if out is None else out + term
+    return out
 
 
 def halo_gather(mesh, disp, B: int, axis_name: str, nshards: int):

@@ -153,3 +153,42 @@ def test_sharded_cola_inprogram_pk(cosmo_z0):
     np.testing.assert_allclose(np.asarray(out["pk_err"]),
                                np.asarray(err_ref), rtol=1e-6,
                                equal_nan=True, atol=1e-12)
+
+
+def test_halo_many_variants_match_per_channel():
+    """halo_paint_many / halo_gather_many (one stacked halo exchange)
+    equal C independent halo_paint / halo_gather calls."""
+    from fastbox_tpu.parallel import (halo_gather_many, halo_paint_many)
+
+    N, space, B = 16, 4, 2
+    rng = np.random.default_rng(21)
+    disp = jnp.asarray(_bounded_disp(rng, N, B))
+    w3 = jnp.asarray(rng.standard_normal((3, N, N, N)))
+    mesh = _space_mesh(space)
+
+    pm = shard_map(
+        lambda d, w: halo_paint_many(d, B, "space", space, weights=w),
+        mesh=mesh, in_specs=(P("space"), P(None, "space")),
+        out_specs=P(None, "space"), check_vma=False)
+    ps = shard_map(
+        lambda d, w: halo_paint(d, B, "space", space, weights=w),
+        mesh=mesh, in_specs=(P("space"), P("space")),
+        out_specs=P("space"), check_vma=False)
+    got = np.asarray(jax.jit(pm)(disp, w3))
+    for c in range(3):
+        np.testing.assert_allclose(got[c], np.asarray(jax.jit(ps)(disp, w3[c])),
+                                   rtol=1e-13, atol=1e-13)
+
+    gm = shard_map(
+        lambda m, d: halo_gather_many(m, d, B, "space", space),
+        mesh=mesh, in_specs=(P(None, "space"), P("space")),
+        out_specs=P(None, "space"), check_vma=False)
+    gs = shard_map(
+        lambda m, d: halo_gather(m, d, B, "space", space),
+        mesh=mesh, in_specs=(P("space"), P("space")),
+        out_specs=P("space"), check_vma=False)
+    got_g = np.asarray(jax.jit(gm)(w3, disp))
+    for c in range(3):
+        np.testing.assert_allclose(got_g[c],
+                                   np.asarray(jax.jit(gs)(w3[c], disp)),
+                                   rtol=1e-13, atol=1e-13)
