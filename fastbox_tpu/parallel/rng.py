@@ -32,6 +32,7 @@ TAGS = {
     "fg_im": 102,
     "alpha": 103,
     "noise": 202,
+    "halos": 301,
 }
 
 

@@ -71,6 +71,7 @@ MODULES = [
     "fastbox_tpu.parallel.lattice",
     "fastbox_tpu.parallel.cola",
     "fastbox_tpu.parallel.spectra",
+    "fastbox_tpu.parallel.halos",
 ]
 
 
