@@ -5,6 +5,12 @@ in-memory CosmoBox, reproducibility via np.random.seed).  Here the
 equivalents are explicit PRNG keys (already threaded everywhere) plus
 simple npz save/load of a box's fields and metadata, so long Monte-Carlo
 campaigns can checkpoint and resume.
+
+For SHARDED arrays (>= 1024^3 cubes living slab-distributed over a mesh)
+use :func:`save_sharded` / :func:`load_sharded`: orbax writes each shard
+from its own device and restores to a target sharding, so a checkpoint
+never funnels the cube through one host (the npz helpers gather — fine on
+CPU, the scaling killer through the TPU tunnel).
 """
 from __future__ import annotations
 
@@ -14,7 +20,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_box", "load_box", "save_fields", "load_fields"]
+__all__ = ["save_box", "load_box", "save_fields", "load_fields",
+           "save_sharded", "load_sharded"]
 
 
 def save_fields(path: str, **fields):
@@ -27,6 +34,41 @@ def load_fields(path: str) -> dict:
     """Load an npz of fields back as jax arrays."""
     with np.load(path) as data:
         return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def save_sharded(path: str, tree):
+    """Checkpoint a pytree of (possibly sharded) jax arrays with orbax.
+
+    Each device writes its own shards; nothing is gathered.  ``path`` must
+    be an absolute directory path (orbax requirement); it is overwritten.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_sharded(path: str, template):
+    """Restore a :func:`save_sharded` checkpoint onto target shardings.
+
+    ``template`` is a pytree matching the saved structure whose leaves are
+    ``jax.ShapeDtypeStruct``s carrying the desired ``sharding`` (or real
+    arrays, whose specs are reused) — the standard orbax restore contract.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    def as_spec(leaf):
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return leaf
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+
+    spec = jax.tree.map(as_spec, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, spec)
 
 
 def save_box(path: str, box):
