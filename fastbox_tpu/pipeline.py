@@ -87,9 +87,11 @@ class PipelineConfig:
     noise_scheme: str = "half"
     # Fuse the (delta_x, vel_z) inverse transforms into ONE complex MXU
     # inverse (ops/mmfft.irfftn_pair: irfft(a + i b) -> (Re, Im)) instead
-    # of two native C2R dispatches.  A perf knob for the TPU FFT wall —
-    # bit-identical statistics, ~1e-5 relative f32 difference from the
-    # different summation order.
+    # of two native C2R dispatches.  A perf knob for the TPU FFT wall.
+    # Accuracy: identical statistics; f64 agrees with the default to 1e-9
+    # (tested), but in f32 the matmul-DFT precision propagates to a
+    # measured ~0.5% P(k) deviation (scripts/bench_matrix.py) — beyond
+    # the 1e-4 criterion, so it stays opt-in.
     fft_pair: bool = False
 
 
