@@ -72,6 +72,7 @@ MODULES = [
     "fastbox_tpu.parallel.cola",
     "fastbox_tpu.parallel.spectra",
     "fastbox_tpu.parallel.halos",
+    "fastbox_tpu.parallel.filters",
 ]
 
 
