@@ -53,7 +53,8 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                       redshift=None, redshift_init: float = 15.0,
                       n_steps: int | None = None, dtype=jnp.float32,
                       lattice_B: int = 3, keep_velocities: bool = True,
-                      pk_nbins: int | None = None):
+                      pk_nbins: int | None = None, fields: bool = True,
+                      ensemble: bool = False):
     """Build the jitted slab-sharded COLA realisation.
 
     Returns ``fn(key) -> dict`` with ``delta_x`` (N,N,N) global array
@@ -71,7 +72,19 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     Parameters mirror ``fields.cola.realise_density_cola`` minus
     ``force_factor`` (the force mesh always matches the particle grid) and
     the scatter fallback (see module docstring).
+
+    Monte-Carlo mode: with ``ensemble=True`` the mesh is 2-D
+    ``('ens', 'space')`` and the returned ``fn(keys)`` takes a (B,) key
+    array sharded over 'ens' (B a multiple of the ens axis); each ens row
+    evolves its realisations SEQUENTIALLY (``lax.map`` — one compiled
+    program, B/ens dispatch-free repeats) while 'space' slab-shards every
+    cube.  Combine with ``fields=False`` (requires ``pk_nbins``) so only
+    the (B, nbins) spectra and (B,) max_disp diagnostics are retained —
+    the point of in-program reduction at >= 1024^3.
     """
+    if not fields:
+        assert pk_nbins is not None, "fields=False requires pk_nbins"
+        keep_velocities = False
     assert grid.Lx == grid.Ly == grid.Lz, "COLA requires a cubic box"
     dtype = jnp.dtype(dtype)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -247,9 +260,11 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                  * jnp.asarray(w1, dtype)[None, :, None]
                  * jnp.asarray(w1z, dtype)[None, None, :])
         rk = prfft3_local((rho - 1.0)[None], "space")[0] / compk
-        delta_x = pirfft3_local(rk[None], N, "space")[0].astype(dtype)
 
-        out = {"delta_x": delta_x, "max_disp": maxd}
+        out = {"max_disp": maxd}
+        if fields:
+            out["delta_x"] = pirfft3_local(rk[None], N,
+                                           "space")[0].astype(dtype)
         if pk_nbins is not None:
             from ..ops.reduce import binned_weighted_sum_sumsq_count
 
@@ -279,18 +294,35 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                 0.0) * inv_af
         return out
 
-    out_specs = {"delta_x": P("space"), "max_disp": P()}
+    out_specs = {"max_disp": P()}
+    if fields:
+        out_specs["delta_x"] = P("space")
     if keep_velocities:
         out_specs["vel"] = P(None, "space")
     if pk_nbins is not None:
         out_specs["k"] = P()
         out_specs["pk"] = P()
         out_specs["pk_err"] = P()
-    sharded = shard_map(
-        step_fn,
-        mesh=mesh,
-        in_specs=P(),
-        out_specs=out_specs,
-        check_vma=False,
-    )
+
+    if not ensemble:
+        sharded = shard_map(step_fn, mesh=mesh, in_specs=P(),
+                            out_specs=out_specs, check_vma=False)
+        return jax.jit(sharded)
+
+    # Monte-Carlo mode: keys sharded over 'ens', realisations evolved
+    # sequentially per ens row (one compiled program; the lattice/FFT code
+    # keeps unbatched cube shapes).  Stacked outputs gain a leading B axis.
+    assert "ens" in mesh.shape, "ensemble=True needs an ('ens','space') mesh"
+    ens_specs = {k: P(*(("ens",) + tuple(v))) for k, v in out_specs.items()}
+    if pk_nbins is not None:
+        ens_specs["k"] = P()  # bin centroids are realisation-independent
+
+    def many(keys):
+        outs = lax.map(step_fn, keys)
+        if pk_nbins is not None:
+            outs["k"] = outs["k"][0]
+        return outs
+
+    sharded = shard_map(many, mesh=mesh, in_specs=P("ens"),
+                        out_specs=ens_specs, check_vma=False)
     return jax.jit(sharded)

@@ -192,3 +192,31 @@ def test_halo_many_variants_match_per_channel():
         np.testing.assert_allclose(got_g[c],
                                    np.asarray(jax.jit(gs)(w3[c], disp)),
                                    rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_cola_ensemble_mode(cosmo_z0):
+    """('ens','space') Monte-Carlo mode: per-key spectra match the
+    single-realisation engine exactly, bin centroids replicated."""
+    from jax.sharding import NamedSharding
+
+    N = 16
+    grid = GridSpec.create(box_scale=(250.0,) * 3, nsamp=N, redshift=0.0)
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh2 = Mesh(devs, ("ens", "space"))
+    fn = make_sharded_cola(mesh2, grid, cosmo_z0, redshift_init=9.0,
+                           n_steps=3, dtype=jnp.float64, lattice_B=2,
+                           pk_nbins=8, fields=False, ensemble=True)
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    out = fn(keys)
+    assert np.asarray(out["pk"]).shape == (4, 7)
+    assert np.asarray(out["max_disp"]).shape == (4,)
+
+    single = make_sharded_cola(_space_mesh(2), grid, cosmo_z0,
+                               redshift_init=9.0, n_steps=3,
+                               dtype=jnp.float64, lattice_B=2, pk_nbins=8,
+                               fields=False, keep_velocities=False)
+    ref = single(keys[2])
+    np.testing.assert_allclose(np.asarray(out["pk"])[2], np.asarray(ref["pk"]),
+                               rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(out["k"]), np.asarray(ref["k"]),
+                               rtol=1e-12)
