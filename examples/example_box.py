@@ -11,6 +11,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin overrides JAX_PLATFORMS (CLAUDE.md); re-assert the
+    # env var through the config so CPU smoke runs work as documented.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from fastbox_tpu import CosmoBox, default_cosmo
