@@ -220,3 +220,31 @@ def test_sharded_cola_ensemble_mode(cosmo_z0):
                                rtol=1e-9, equal_nan=True)
     np.testing.assert_allclose(np.asarray(out["k"]), np.asarray(ref["k"]),
                                rtol=1e-12)
+
+
+def test_sharded_cola_f32_statistics(cosmo_z0):
+    """f32 engine statistics track the f64 engine's.
+
+    NOTE: the same key draws DIFFERENT random values in f32 vs f64
+    (jax.random.normal consumes bits dtype-dependently), so the two runs
+    are different REALISATIONS — per-voxel/per-bin comparisons are
+    meaningless (measured: 5.8 sigma voxel differences already in the
+    ICs).  Only ensemble statistics are comparable; at 32^3 per-bin
+    realisation scatter is tens of percent, the broadband is a few."""
+    N = 32
+    grid = GridSpec.create(box_scale=(500.0,) * 3, nsamp=N, redshift=0.0)
+    outs = {}
+    for dt in (jnp.float32, jnp.float64):
+        fn = make_sharded_cola(_space_mesh(4), grid, cosmo_z0,
+                               redshift_init=9.0, n_steps=5, dtype=dt,
+                               lattice_B=3, keep_velocities=False,
+                               pk_nbins=10)
+        out = fn(jax.random.PRNGKey(12))
+        outs[dt] = (np.asarray(out["pk"]), float(np.asarray(
+            jnp.std(out["delta_x"]))), float(out["max_disp"]))
+    (pk32, std32, maxd32) = outs[jnp.float32]
+    (pk64, std64, maxd64) = outs[jnp.float64]
+    assert np.isfinite(pk32[np.isfinite(pk64)]).all()
+    assert (pk32[np.isfinite(pk32)] > 0).all()
+    assert abs(std32 / std64 - 1.0) < 0.1, (std32, std64)
+    assert 0.5 < maxd32 / maxd64 < 2.0
