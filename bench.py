@@ -103,6 +103,9 @@ def main():
         "value": round(rate, 4),
         "unit": "pipelines/s",
         "vs_baseline": round(rate / REFERENCE_RATE, 2),
+        "platform": jax.devices()[0].platform,
+        "chain": args.chain,
+        "batch": args.batch,
     }))
 
 

@@ -86,3 +86,20 @@ def test_correlation_multipoles_match():
     fn = make_sharded_correlation(_space_mesh(), GRID, dr=40.0, poles=poles)
     _assert_tree_close(fn(a),
                        correlation_multipoles(GRID, a, poles=poles, dr=40.0))
+
+
+def test_power_spectrum_odd_n_matches():
+    """Odd N exercises the no-Nyquist branches of the pairing rules."""
+    N = 15
+    grid = GridSpec.create(box_scale=(750.0,) * 3, nsamp=N, redshift=0.0)
+    rng = np.random.default_rng(23)
+    a = jnp.asarray(rng.standard_normal((N, N, N)))
+    mesh = Mesh(np.asarray(jax.devices()[:3]), ("space",))
+
+    fn = make_sharded_power_spectrum(mesh, grid, nmu=3, los=(1.0, 0.0, 1.0))
+    _assert_tree_close(fn(a), power_spectrum(GRID.__class__.create(
+        box_scale=(750.0,) * 3, nsamp=N, redshift=0.0), a, nmu=3,
+        los=(1.0, 0.0, 1.0)))
+
+    fm = make_sharded_power_multipoles(mesh, grid, poles=(0, 1, 2))
+    _assert_tree_close(fm(a), power_multipoles(grid, a, poles=(0, 1, 2)))
