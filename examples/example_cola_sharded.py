@@ -22,10 +22,9 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_fastbox"))
-# The axon TPU plugin overrides JAX_PLATFORMS (CLAUDE.md); re-assert the
-# env var through the config so the documented CPU invocation works.
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import fastbox_tpu
+
+fastbox_tpu.ensure_platform()  # honor JAX_PLATFORMS despite the axon plugin
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,12 +10,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+import fastbox_tpu
 
-if os.environ.get("JAX_PLATFORMS"):
-    # The axon TPU plugin overrides JAX_PLATFORMS (CLAUDE.md); re-assert the
-    # env var through the config so CPU smoke runs work as documented.
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+fastbox_tpu.ensure_platform()  # honor JAX_PLATFORMS despite the axon plugin
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,23 @@ estimation — designed as jit-compiled pipelines sharded over TPU meshes.
 """
 __version__ = "0.1.0"
 
+
+def ensure_platform():
+    """Re-assert ``JAX_PLATFORMS`` through the jax config.
+
+    The axon TPU PJRT plugin can override the env var, so
+    ``JAX_PLATFORMS=cpu python script.py`` may still initialize the TPU
+    backend (and hang if the tunnel is down).  Call this before the first
+    jax operation; a no-op when the env var is unset.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 from . import analysis, cosmology, fields, filters, grid, io, models, ops
 from . import parallel, timing, utils
 from .box import CosmoBox, default_cosmo

@@ -57,8 +57,12 @@ def load_sharded(path: str, template):
     ``jax.ShapeDtypeStruct``s carrying the desired ``sharding`` (or real
     arrays, whose specs are reused) — the standard orbax restore contract.
     """
+    import os
+
     import jax
     import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
 
     def as_spec(leaf):
         if isinstance(leaf, jax.ShapeDtypeStruct):

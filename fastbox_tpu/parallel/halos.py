@@ -75,7 +75,10 @@ def make_sharded_halo_counts(mesh: Mesh, grid: GridSpec, nbar: float,
         if not return_overdensity:
             return counts
         mean_n = lax.psum(jnp.sum(counts), "space") / N**3
-        return counts / mean_n - 1.0
+        # An empty draw (mean 0) has no defined overdensity; return the
+        # zero field rather than silently poisoning spectra with NaN.
+        safe = jnp.maximum(mean_n, dtype.type(1e-30))
+        return jnp.where(mean_n > 0, counts / safe - 1.0, 0.0)
 
     sharded = shard_map(step, mesh=mesh, in_specs=(P(), P("space")),
                         out_specs=P("space"), check_vma=False)

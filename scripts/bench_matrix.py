@@ -41,9 +41,11 @@ def time_config(grid, cosmology, chain, fft_pair, prefer_mm, iters, warmup):
     else:
         fn = make_pipeline(grid, cosmology, config)
     keys = jax.random.split(jax.random.PRNGKey(0), warmup + iters)
+    out = None
     for i in range(warmup):
         out = fn(keys[i])
-    np.asarray(out["pk_cleaned"])
+    if out is not None:
+        np.asarray(out["pk_cleaned"])
     t0 = time.perf_counter()
     outs = [fn(keys[warmup + i]) for i in range(iters)]
     jax.block_until_ready(outs)
@@ -81,12 +83,18 @@ def main():
                 except Exception as exc:  # noqa: BLE001 - sweep must go on
                     print(json.dumps({**tag, "error": str(exc)[:200]}))
                     continue
-                base = ref_pk.setdefault(chain, pk)
-                # accuracy guard: same-seed pk vs this chain's baseline config
-                dev = float(np.nanmax(np.abs(pk / base - 1.0)))
+                # accuracy guard: same-seed pk vs this chain's BASELINE
+                # config (both knobs off) — anchor only on that config so
+                # a failed baseline never silently re-anchors to a knob run
+                if not fft_pair and not prefer_mm:
+                    ref_pk[chain] = pk
+                base = ref_pk.get(chain)
+                dev = (float(np.nanmax(np.abs(pk / base - 1.0)))
+                       if base is not None else None)
                 results.append((rate, tag))
                 print(json.dumps({**tag, "rate": round(rate, 2),
-                                  "pk_maxdev_vs_base": round(dev, 6)}),
+                                  "pk_maxdev_vs_base":
+                                      None if dev is None else round(dev, 6)}),
                       flush=True)
     if results:
         best = max(results)

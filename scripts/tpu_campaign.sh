@@ -20,8 +20,7 @@ echo "---- [4/6] Pallas binned-P(k) f32 accuracy ----"
 timeout 1200 python scripts/check_binned_pk_accuracy.py
 
 echo "---- [5/6] COLA 256^3 timing ----"
-timeout 2400 python scripts/probe_cola_disp.py --time-only 2>/dev/null || \
-  timeout 2400 python - <<'EOF'
+timeout 2400 python - <<'EOF'
 import os, time
 import jax
 jax.config.update("jax_compilation_cache_dir",

@@ -97,9 +97,8 @@ def test_power_spectrum_odd_n_matches():
     mesh = Mesh(np.asarray(jax.devices()[:3]), ("space",))
 
     fn = make_sharded_power_spectrum(mesh, grid, nmu=3, los=(1.0, 0.0, 1.0))
-    _assert_tree_close(fn(a), power_spectrum(GRID.__class__.create(
-        box_scale=(750.0,) * 3, nsamp=N, redshift=0.0), a, nmu=3,
-        los=(1.0, 0.0, 1.0)))
+    _assert_tree_close(fn(a), power_spectrum(grid, a, nmu=3,
+                                             los=(1.0, 0.0, 1.0)))
 
     fm = make_sharded_power_multipoles(mesh, grid, poles=(0, 1, 2))
     _assert_tree_close(fm(a), power_multipoles(grid, a, poles=(0, 1, 2)))
