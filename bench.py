@@ -27,11 +27,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
+import fastbox_tpu
+
+fastbox_tpu.ensure_platform()  # honor JAX_PLATFORMS despite the axon plugin
+
 from fastbox_tpu.cosmology import build_cosmology
 from fastbox_tpu.grid import GridSpec
 from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
 
 REFERENCE_RATE = 1.0 / 35.0  # 128^3 pipelines/sec, single CPU (BASELINE.md)
+
+
+def _backend_watchdog(seconds: float):
+    """Emit a parseable JSON error and exit if backend init hangs.
+
+    The axon tunnel, when down, makes the first jax operation block
+    indefinitely (observed 2026-08-18: >10 h outage).  A daemon timer
+    turns that into one JSON line so the driver records *something*.
+    Returns a cancel() callable.
+    """
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "backend init",
+            "value": 0.0,
+            "unit": "pipelines/s",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {seconds:.0f}s "
+                     "(tunnel down?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t.cancel
 
 
 def main():
@@ -48,7 +79,15 @@ def main():
                          "the ~5 ms tunnel launch overhead; 1 = one "
                          "program per realisation)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--init-timeout", type=float, default=900.0,
+                    help="seconds before a hung backend init is reported "
+                         "as a JSON error (0 disables)")
     args = ap.parse_args()
+
+    if args.init_timeout > 0:
+        cancel = _backend_watchdog(args.init_timeout)
+        jax.devices()  # force backend init under the watchdog
+        cancel()
 
     grid = GridSpec.create(box_scale=(args.box,) * 3, nsamp=args.nsamp,
                            redshift=args.redshift)
