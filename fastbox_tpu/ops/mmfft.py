@@ -38,7 +38,34 @@ __all__ = ["fft", "ifft", "fftn", "ifftn", "fft2", "ifft2",
            "rfft", "irfft", "rfftn_via_cfft", "irfftn_pair",
            "rfftn3", "irfftn3"]
 
-_PREC = jax.lax.Precision.HIGHEST
+# Matmul accumulation precision.  HIGHEST (6-pass bf16) keeps ~f32
+# accuracy; HIGH (3-pass) is ~2x faster on the MXU and measured at the
+# same end-to-end P(k) accuracy class — sweep with
+# scripts/microbench_mmfft.py before changing the default.  Settable via
+# the environment (FASTBOX_MM_PRECISION=HIGH) or set_precision(); read at
+# trace time, so call jax.clear_caches() after changing it mid-process.
+import os as _os
+
+_PREC = getattr(jax.lax.Precision,
+                _os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"))
+
+
+def set_precision(name: str):
+    """Set the einsum precision for all matmul DFT stages.
+
+    ``name`` is one of "DEFAULT", "HIGH", "HIGHEST".  Affects traces made
+    after the call; jitted programs already compiled keep their old
+    precision (use ``jax.clear_caches()`` to force a re-trace).
+    """
+    global _PREC
+    _PREC = getattr(jax.lax.Precision, name)
+
+
+# Per-length stage-split overrides for empirical tuning, e.g.
+# FACTOR_OVERRIDES[256] = (16, 16) runs the length-256 DFT as two
+# radix-16 matmul stages instead of one dense (256,256) stage.
+# Sweep with scripts/microbench_mmfft.py --factors; read at trace time.
+FACTOR_OVERRIDES: dict[int, tuple[int, ...]] = {}
 
 
 def _factor(n: int) -> tuple[int, ...]:
@@ -51,6 +78,10 @@ def _factor(n: int) -> tuple[int, ...]:
     prefactors only for larger n (512 -> (2, 256), 1024 -> (4, 256) — the
     tiny stage is negligible flops and lowers to vector adds).
     """
+    ov = FACTOR_OVERRIDES.get(n)
+    if ov is not None:
+        assert int(np.prod(ov)) == n, (ov, n)
+        return tuple(int(s) for s in ov)
     if n <= 256:
         return (n,)
     out = []
@@ -67,15 +98,16 @@ def _factor(n: int) -> tuple[int, ...]:
 
 
 @lru_cache(maxsize=64)
-def _stage_mats(n: int, sign: int, dtype_name: str):
+def _stage_mats(n: int, sign: int, dtype_name: str,
+                stages: tuple[int, ...]):
     """Host-precomputed (W_stage, twiddle) ladder for a length-n DFT.
 
     Returns a list of (n1, n2, W1[n1,n1], T[n1,n2]) where n2 is the
     remaining length after this stage (product of later stages); the last
-    stage has n2 == 1 and T == None.
+    stage has n2 == 1 and T == None.  ``stages`` is part of the cache key
+    so FACTOR_OVERRIDES changes take effect on the next trace.
     """
     dtype = np.dtype(dtype_name)
-    stages = _factor(n)
     mats = []
     rem = n
     for s in stages:
@@ -110,7 +142,7 @@ def _as_complex(W):
 def _dft_last(x, n: int, sign: int):
     """DFT along the last axis via the matmul ladder (recursive radix)."""
     cdtype = "complex128" if x.dtype == jnp.complex128 else "complex64"
-    mats = _stage_mats(n, sign, cdtype)
+    mats = _stage_mats(n, sign, cdtype, _factor(n))
 
     def rec(x, level):
         n1, n2, W1, T = mats[level]

@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["binned_pk_pallas"]
+__all__ = ["binned_pk_pallas", "binned_pk_half_dual_pallas"]
 
 _LANES = 128
 
@@ -106,3 +106,102 @@ def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
         kz2.astype(dtype).reshape(1, N),
     )
     return out[0, :nbins], out[1, :nbins], out[2, :nbins]
+
+
+def _half_dual_kernel(kx2_ref, edges_ref, p1_ref, p2_ref, ky2_ref, kz2_ref,
+                      wz_ref, out_ref, *, nbins: int, nrows: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p1 = p1_ref[0]                       # (N, H)
+    p2 = p2_ref[0]
+    w = wz_ref[:]                        # (1, H) broadcasts over rows
+    k = jnp.sqrt(kx2_ref[i] + ky2_ref[:] + kz2_ref[:])  # (N, H)
+
+    idx = jnp.zeros(k.shape, jnp.int32)
+    for b in range(nbins):
+        idx = idx + (edges_ref[b] <= k).astype(jnp.int32)
+
+    s1, q1, s2, cw = [], [], [], []
+    for b in range(nbins):
+        m = idx == b
+        wm = jnp.where(m, jnp.broadcast_to(w, k.shape), 0.0)
+        s1.append(jnp.sum(wm * p1))
+        q1.append(jnp.sum(wm * p1 * p1))
+        s2.append(jnp.sum(wm * p2))
+        cw.append(jnp.sum(wm))
+    pad = [jnp.zeros((), p1.dtype)] * (_LANES - nbins)
+    block = jnp.stack(
+        [jnp.stack(s1 + pad), jnp.stack(q1 + pad), jnp.stack(s2 + pad),
+         jnp.stack(cw + pad)]
+        + [jnp.zeros(_LANES, p1.dtype)] * (nrows - 4)
+    )
+    out_ref[:] += block
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
+                               interpret: bool = False):
+    """Weighted dual-field binned reduction on an rfftn half spectrum.
+
+    Fuses |k| construction, digitize, and the per-bin accumulation of TWO
+    power fields sharing the same bins into one pass — the Pallas
+    replacement for ``ops.reduce.binned_weighted_dual`` plus the
+    precomputed ``searchsorted`` pass in the pipeline's step (9).  The
+    sequential slab accumulation in VMEM is ~1e3x more accurate in f32
+    than the XLA one-hot scan (measured 3.9e-7 vs 4.9e-4 max rel err at
+    256^3; scripts/check_binned_pk_accuracy.py).
+
+    Parameters:
+        p1, p2: (Nx, Ny, H) real power values on the half spectrum.
+        kx2, ky2: squared 1-D wavenumbers, (Nx,), (Ny,).
+        kz2h: squared kz on the half axis, (H,).
+        wz: per-kz-plane Hermitian multiplicity weights, (H,).
+        edges: (nbins,) ascending bin edges (max 120).
+
+    Returns:
+        (sum w*p1, sum w*p1^2, sum w*p2, sum w) per bin, each (nbins,);
+        bin b collects digitize(k, edges) == b (bin 0 = below edges[0]).
+    """
+    Nx, Ny, H = p1.shape
+    assert p2.shape == p1.shape, (p1.shape, p2.shape)
+    dtype = p1.dtype
+    nbins = edges.shape[0]
+    assert nbins <= 120, "binned_pk_half_dual_pallas: at most 120 bin edges"
+    nrows = 8
+
+    out = pl.pallas_call(
+        partial(_half_dual_kernel, nbins=int(nbins), nrows=nrows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # kx2, edges
+            grid=(Nx,),
+            in_specs=[
+                pl.BlockSpec((1, Ny, H), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Ny, H), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ny, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nrows, _LANES), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
+        interpret=interpret,
+    )(
+        kx2.astype(dtype),
+        edges.astype(dtype),
+        p1,
+        p2,
+        ky2.astype(dtype).reshape(Ny, 1),
+        kz2h.astype(dtype).reshape(1, H),
+        wz.astype(dtype).reshape(1, H),
+    )
+    return out[0, :nbins], out[1, :nbins], out[2, :nbins], out[3, :nbins]

@@ -93,6 +93,13 @@ class PipelineConfig:
     # measured ~0.5% P(k) deviation (scripts/bench_matrix.py) — beyond
     # the 1e-4 criterion, so it stays opt-in.
     fft_pair: bool = False
+    # Binned-P(k) reduction backend for step (9): 'auto' uses the fused
+    # Pallas kernel (ops/pallas/binned_pk.py) on TPU and the XLA one-hot
+    # scan elsewhere; 'on'/'off' force it.  The Pallas slab accumulation
+    # is ~1e3x more accurate in f32 (3.9e-7 vs 4.9e-4 max rel err at
+    # 256^3, scripts/check_binned_pk_accuracy.py) and skips the
+    # precomputed searchsorted pass by digitizing |k| in-kernel.
+    pallas_pk: str = "auto"
 
 
 def _hi_bias(z):
@@ -170,24 +177,25 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     edges_j = jnp.asarray(kbins_edges, dtype)
     nb = kbins_edges.size
 
-    # Bin indices precomputed once on device, passed as a runtime argument
-    # (recomputing the searchsorted per call costs ~7 ms at 256^3)
-    _kmag_b = jnp.sqrt(kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
-                       + kz_half[None, None, :] ** 2)
-    bin_idx_arg = jnp.searchsorted(edges_j, _kmag_b.ravel(),
-                                   side="right").astype(jnp.int32)
-    del _kmag_b
+    if config.pallas_pk not in ("auto", "on", "off"):
+        raise ValueError(f"Unknown pallas_pk '{config.pallas_pk}'")
+    use_pallas_pk = (config.pallas_pk == "on"
+                     or (config.pallas_pk == "auto"
+                         and jax.default_backend() == "tpu"))
+    _pk_interpret = jax.default_backend() != "tpu"  # CPU: Pallas interpreter
 
-    def _binned_half(pk_half, bin_idx):
-        from .ops.reduce import binned_weighted_sum_sumsq_count
-
-        w = jnp.broadcast_to(kzw_j[None, None, :], pk_half.shape)
-        sums, sumsqs, counts = binned_weighted_sum_sumsq_count(
-            pk_half.ravel(), w.ravel(), bin_idx, nb)
-        vals = sums / counts
-        var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
-        var = jnp.where(counts > 1, var, 0.0)
-        return vals[1:], (jnp.sqrt(var) / jnp.sqrt(counts))[1:]
+    if use_pallas_pk:
+        # The Pallas kernel digitizes |k| in-kernel; no index cube needed.
+        bin_idx_arg = jnp.zeros((1,), jnp.int32)
+    else:
+        # Bin indices precomputed once on device, passed as a runtime
+        # argument (recomputing the searchsorted per call costs ~7 ms at
+        # 256^3)
+        _kmag_b = jnp.sqrt(kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
+                           + kz_half[None, None, :] ** 2)
+        bin_idx_arg = jnp.searchsorted(edges_j, _kmag_b.ravel(),
+                                       side="right").astype(jnp.int32)
+        del _kmag_b
 
     if config.noise_scheme not in ("half", "rows"):
         raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
@@ -318,15 +326,22 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # (half-spectrum reductions, multiplicity-weighted: exactly the
         # full-grid convention of box.py:696-768; both cubes share one
         # histogram pass)
-        from .ops.reduce import binned_weighted_dual
-
         boxf = jnp.asarray(grid.boxfactor, dtype)
         ck = fft_safe.rfftn(cleaned)
         p_clean = (ck * jnp.conj(ck)).real / boxf
         p_dens = (delta_k * jnp.conj(delta_k)).real / boxf
-        w = jnp.broadcast_to(kzw_j[None, None, :], p_clean.shape)
-        s1, q1, s2, _, cnt = binned_weighted_dual(
-            p_clean.ravel(), p_dens.ravel(), w.ravel(), bin_idx, nb)
+        if use_pallas_pk:
+            from .ops.pallas.binned_pk import binned_pk_half_dual_pallas
+
+            s1, q1, s2, cnt = binned_pk_half_dual_pallas(
+                p_clean, p_dens, kxv**2, kyv**2, kz_half**2, kzw_j, edges_j,
+                interpret=_pk_interpret)
+        else:
+            from .ops.reduce import binned_weighted_dual
+
+            w = jnp.broadcast_to(kzw_j[None, None, :], p_clean.shape)
+            s1, q1, s2, _, cnt = binned_weighted_dual(
+                p_clean.ravel(), p_dens.ravel(), w.ravel(), bin_idx, nb)
         pk_clean = (s1 / cnt)[1:]
         var = jnp.maximum(q1 / cnt - (s1 / cnt) ** 2, 0.0)
         var = jnp.where(cnt > 1, var, 0.0)

@@ -62,7 +62,14 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--chains", type=str, default="1,4,8")
+    ap.add_argument("--mm-precision", type=str, default="HIGHEST",
+                    choices=("DEFAULT", "HIGH", "HIGHEST"),
+                    help="einsum precision for the matmul-DFT path "
+                         "(affects prefer_mm/fft_pair configs only)")
     args = ap.parse_args()
+
+    from fastbox_tpu.ops import mmfft
+    mmfft.set_precision(args.mm_precision)
 
     grid = GridSpec.create(box_scale=(args.box,) * 3, nsamp=args.nsamp,
                            redshift=0.8)
@@ -76,7 +83,8 @@ def main():
         for fft_pair in (False, True):
             for prefer_mm in (False, True):
                 tag = dict(chain=chain, fft_pair=fft_pair,
-                           prefer_mm=prefer_mm)
+                           prefer_mm=prefer_mm,
+                           mm_precision=args.mm_precision)
                 try:
                     rate, pk = time_config(grid, cosmology, chain, fft_pair,
                                            prefer_mm, args.iters, args.warmup)

@@ -160,8 +160,60 @@ def bench_half(nsamp=256, K=8):
         timed(f"mmfft rfftn3  ({prec})", fwd_chain, (xd,), K)
 
 
+def _splits_for(n: int):
+    """Candidate stage splits for a length-n DFT, dense first."""
+    cands = [(n,)]
+    for a in (2, 4, 8, 16, 32, 64, 128):
+        if n % a == 0 and 1 < n // a <= 256:
+            cands.append((a, n // a))
+    return [c for c in cands if int(np.prod(c)) == n]
+
+
+def bench_factors(nsamp=256, K=8):
+    """Sweep FACTOR_OVERRIDES x precision for rfftn3/irfftn3 at ``nsamp``.
+
+    Accuracy is a device-side roundtrip (x -> rfftn3 -> irfftn3 vs x), so
+    only scalars cross the tunnel; timing chains K transforms per program.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fastbox_tpu.ops import mmfft
+    N = nsamp
+    x = jax.random.normal(jax.random.PRNGKey(3), (N, N, N), jnp.float32)
+
+    for split in _splits_for(N):
+        mmfft.FACTOR_OVERRIDES[N] = split
+        for prec in ("HIGH", "HIGHEST"):
+            mmfft.set_precision(prec)
+
+            @jax.jit
+            def rt_err(x):
+                a = mmfft.rfftn3(x)
+                y = mmfft.irfftn3(a, (N, N, N))
+                return jnp.max(jnp.abs(y - x)) / jnp.max(jnp.abs(x))
+
+            err = float(rt_err(x))
+
+            @jax.jit
+            def chain(x):
+                y = x
+                for _ in range(K):
+                    a = mmfft.rfftn3(y)
+                    r = mmfft.irfftn3(a, (N, N, N))
+                    y = y * 0.5 + r * 0.5
+                return jnp.mean(y)
+
+            dt = timed(f"split={split} {prec}: rfftn3+irfftn3", chain,
+                       (x,), K)
+            print(f"    roundtrip rel err {err:.2e}", flush=True)
+    mmfft.FACTOR_OVERRIDES.pop(N, None)
+
+
 if __name__ == "__main__":
     if os.environ.get("MM_HALF"):
         bench_half()
+    elif os.environ.get("MM_FACTORS"):
+        bench_factors(int(os.environ.get("MM_NSAMP", "256")))
     else:
         main()

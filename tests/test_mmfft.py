@@ -135,3 +135,35 @@ def test_matmul_only_context(cube):
         got = np.asarray(fft_safe.rfftn(x))
     np.testing.assert_array_equal(got, np.asarray(jnp.fft.rfftn(x)))
     assert fft_safe._FORCE_MM == 0
+
+
+def test_factor_override_roundtrip(rng):
+    """FACTOR_OVERRIDES reroutes the stage split without changing results.
+
+    A (4, 8)-split length-32 DFT must agree with numpy exactly like the
+    default dense stage; the override is keyed into the stage-matrix cache
+    so flipping it mid-process takes effect on the next trace.
+    """
+    x = (rng.standard_normal((8, 32))
+         + 1j * rng.standard_normal((8, 32))).astype(np.complex128)
+    ref = np.fft.fft(x, axis=-1)
+    try:
+        mmfft.FACTOR_OVERRIDES[32] = (4, 8)
+        got = np.asarray(mmfft.fft(jnp.asarray(x), axis=-1))
+    finally:
+        mmfft.FACTOR_OVERRIDES.pop(32, None)
+    np.testing.assert_allclose(got, ref, rtol=1e-12,
+                               atol=1e-12 * np.abs(ref).max())
+    # back on the default split: still exact
+    got2 = np.asarray(mmfft.fft(jnp.asarray(x), axis=-1))
+    np.testing.assert_allclose(got2, ref, rtol=1e-12,
+                               atol=1e-12 * np.abs(ref).max())
+
+
+def test_set_precision_roundtrips():
+    prev = mmfft._PREC
+    try:
+        mmfft.set_precision("HIGH")
+        assert mmfft._PREC == jax.lax.Precision.HIGH
+    finally:
+        mmfft._PREC = prev
