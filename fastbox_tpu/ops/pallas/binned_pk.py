@@ -108,31 +108,31 @@ def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
     return out[0, :nbins], out[1, :nbins], out[2, :nbins]
 
 
-def _half_dual_kernel(kx2_ref, edges_ref, p1_ref, p2_ref, ky2_ref, kz2_ref,
-                      wz_ref, out_ref, *, nbins: int, nrows: int):
+def _half_dual_kernel(edges_ref, p1_ref, p2_ref, kx2_ref, kyz2_ref,
+                      w_ref, out_ref, *, nbins: int, nrows: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p1 = p1_ref[0]                       # (N, H)
-    p2 = p2_ref[0]
-    w = wz_ref[:]                        # (1, H) broadcasts over rows
-    k = jnp.sqrt(kx2_ref[i] + ky2_ref[:] + kz2_ref[:])  # (N, H)
+    p1 = p1_ref[:]                       # (bx, Ny*H)
+    p2 = p2_ref[:]
+    w = jnp.broadcast_to(w_ref[:], p1.shape)   # (1, Ny*H) -> rows
+    k = jnp.sqrt(kx2_ref[:] + kyz2_ref[:])     # (bx,1)+(1,Ny*H)
 
     idx = jnp.zeros(k.shape, jnp.int32)
     for b in range(nbins):
         idx = idx + (edges_ref[b] <= k).astype(jnp.int32)
 
+    wp1 = w * p1
     s1, q1, s2, cw = [], [], [], []
     for b in range(nbins):
         m = idx == b
-        wm = jnp.where(m, jnp.broadcast_to(w, k.shape), 0.0)
-        s1.append(jnp.sum(wm * p1))
-        q1.append(jnp.sum(wm * p1 * p1))
-        s2.append(jnp.sum(wm * p2))
-        cw.append(jnp.sum(wm))
+        s1.append(jnp.sum(jnp.where(m, wp1, 0.0)))
+        q1.append(jnp.sum(jnp.where(m, wp1 * p1, 0.0)))
+        s2.append(jnp.sum(jnp.where(m, w * p2, 0.0)))
+        cw.append(jnp.sum(jnp.where(m, w, 0.0)))
     pad = [jnp.zeros((), p1.dtype)] * (_LANES - nbins)
     block = jnp.stack(
         [jnp.stack(s1 + pad), jnp.stack(q1 + pad), jnp.stack(s2 + pad),
@@ -155,6 +155,13 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
     than the XLA one-hot scan (measured 3.9e-7 vs 4.9e-4 max rel err at
     256^3; scripts/check_binned_pk_accuracy.py).
 
+    Layout: the (Nx, Ny, H) half cube is processed as (Nx, Ny*H) rows —
+    Ny*H is lane-aligned when Ny is a multiple of 128 (256*129 = 258
+    lanes), where (Nx, Ny, H) blocks would pad H=129 up to 256 lanes and
+    nearly double the VPU work (measured 2 ms/pipeline at 256^3).  The
+    ky^2+kz^2 row and the Hermitian multiplicity row are built once on
+    the host side of the trace.
+
     Parameters:
         p1, p2: (Nx, Ny, H) real power values on the half spectrum.
         kx2, ky2: squared 1-D wavenumbers, (Nx,), (Ny,).
@@ -172,22 +179,31 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
     nbins = edges.shape[0]
     assert nbins <= 120, "binned_pk_half_dual_pallas: at most 120 bin edges"
     nrows = 8
+    NH = Ny * H
+    bx = 8
+    while Nx % bx != 0:
+        bx //= 2
+    nblk = Nx // bx
+
+    kyz2 = (ky2.astype(dtype)[:, None]
+            + kz2h.astype(dtype)[None, :]).reshape(1, NH)
+    wrow = jnp.broadcast_to(wz.astype(dtype)[None, :], (Ny, H)).reshape(1, NH)
 
     out = pl.pallas_call(
         partial(_half_dual_kernel, nbins=int(nbins), nrows=nrows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,   # kx2, edges
-            grid=(Nx,),
+            num_scalar_prefetch=1,   # edges
+            grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((1, Ny, H), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((bx, NH), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Ny, H), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((bx, NH), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Ny, 1), lambda i, *_: (0, 0),
+                pl.BlockSpec((bx, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H), lambda i, *_: (0, 0),
+                pl.BlockSpec((1, NH), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H), lambda i, *_: (0, 0),
+                pl.BlockSpec((1, NH), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((nrows, _LANES), lambda i, *_: (0, 0),
@@ -196,12 +212,11 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
         out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
         interpret=interpret,
     )(
-        kx2.astype(dtype),
         edges.astype(dtype),
-        p1,
-        p2,
-        ky2.astype(dtype).reshape(Ny, 1),
-        kz2h.astype(dtype).reshape(1, H),
-        wz.astype(dtype).reshape(1, H),
+        p1.reshape(Nx, NH),
+        p2.reshape(Nx, NH),
+        kx2.astype(dtype).reshape(Nx, 1),
+        kyz2,
+        wrow,
     )
     return out[0, :nbins], out[1, :nbins], out[2, :nbins], out[3, :nbins]

@@ -58,6 +58,18 @@ def _axis_w(d, o):
     return (1.0 - fr) * (fl == o) + fr * (fl == (o - 1))
 
 
+def _axis_w_planes(d, B: int, dtype):
+    """All (2B+2) per-offset CIC weight planes of one axis, sharing a
+    single floor/frac computation (the inner offset loops would otherwise
+    recompute it (2B+2)^2 times per block — the dominant VPU cost at
+    B=3)."""
+    fl = jnp.floor(d)
+    fr = d - fl
+    one_m = 1.0 - fr
+    return [one_m * (fl == dtype.type(o)) + fr * (fl == dtype.type(o - 1))
+            for o in range(-B, B + 2)]
+
+
 def _rows(triple, s, bx):
     """Rows [s, s+bx) of the virtual (3bx, N, N) concatenation of three
     adjacent x-slab refs, touching at most two of them (s in [0, 2bx])."""
@@ -97,13 +109,14 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool):
             wx = _axis_w(sdx, dtype.type(ox))
             if weighted:
                 wx = wx * _rows(wtrip, s, bx)
+            wys = _axis_w_planes(sdy, B, dtype)
+            wzs = _axis_w_planes(sdz, B, dtype)
             acc = None
-            for oy in range(-B, B + 2):
-                wxy = wx * _axis_w(sdy, dtype.type(oy))
+            for iy, oy in enumerate(range(-B, B + 2)):
+                wxy = wx * wys[iy]
                 inner = None
-                for oz in range(-B, B + 2):
-                    t = pltpu.roll(wxy * _axis_w(sdz, dtype.type(oz)),
-                                   oz % N2, 2)
+                for iz, oz in enumerate(range(-B, B + 2)):
+                    t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
                     inner = t if inner is None else inner + t
                 t = pltpu.roll(inner, oy % N1, 1)
                 acc = t if acc is None else acc + t
@@ -126,19 +139,18 @@ def _gather_kernel(m0, m1, m2, dx_r, dy_r, dz_r, out_ref, *, B: int, bx: int):
             ox = k - B
             Mx = _rows((m0, m1, m2), bx + ox, bx)
             wx = _axis_w(dx_r[:], dtype.type(ox))
-            dy = dy_r[:]
-            dz = dz_r[:]
+            wys = _axis_w_planes(dy_r[:], B, dtype)
+            wzs = _axis_w_planes(dz_r[:], B, dtype)
             acc = None
-            for oy in range(-B, B + 2):
+            for iy, oy in enumerate(range(-B, B + 2)):
                 # mesh value at (ly + oy) lands at particle row ly:
                 # roll by -oy
                 R = pltpu.roll(Mx, (-oy) % N1, 1)
                 s = None
-                for oz in range(-B, B + 2):
-                    t = (_axis_w(dz, dtype.type(oz))
-                         * pltpu.roll(R, (-oz) % N2, 2))
+                for iz, oz in enumerate(range(-B, B + 2)):
+                    t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
                     s = t if s is None else s + t
-                t = wx * _axis_w(dy, dtype.type(oy)) * s
+                t = wx * wys[iy] * s
                 acc = t if acc is None else acc + t
             out_ref[:] += acc
 
