@@ -15,7 +15,29 @@ Prints ONE json line:
 import argparse
 import json
 import os
+import sys
 import time
+
+# Matmul-DFT einsum precision for the benchmark process.  The TPU knob
+# matrix (scripts/tpu_campaign.log, 2026-08-18) measured chain=8 at
+# ~81/s with HIGH vs 65.0/s with HIGHEST at 256^3 — the two inverse
+# transforms in the pipeline are matmul DFTs (the native C2R is broken at
+# 256^3, see ops/fft_safe.py).  HIGH (3-pass bf16) keeps the raw field
+# error at 2.9e-5, but the end-to-end gate FAILED: the PCA-cleaned P(k)
+# deviates up to 5.3e-2 from HIGHEST on the same key (low-k bins are a
+# small residual of a large foreground subtraction, so per-transform
+# error is amplified; scripts/check_mm_precision_pk.py, followup4 log).
+# The default therefore stays HIGHEST — the benched pipeline must be the
+# one that meets the 1e-4 accuracy criterion.  --mm-precision HIGH
+# remains available for throughput experiments; the env var must be set
+# before fastbox_tpu imports.
+_early = argparse.ArgumentParser(add_help=False)
+_early.add_argument("--mm-precision", default=None)
+_mmp = _early.parse_known_args(sys.argv[1:])[0].mm_precision
+if _mmp is not None:
+    os.environ["FASTBOX_MM_PRECISION"] = _mmp
+else:
+    os.environ.setdefault("FASTBOX_MM_PRECISION", "HIGHEST")
 
 import jax
 
@@ -74,7 +96,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--batch", type=int, default=1,
                     help="vmap this many pipelines per step (ensemble mode)")
-    ap.add_argument("--chain", type=int, default=4,
+    ap.add_argument("--mm-precision", default=None,
+                    help="matmul-DFT einsum precision (DEFAULT/HIGH/"
+                         "HIGHEST); default HIGHEST (HIGH is ~25%% "
+                         "faster but fails the 1e-4 end-to-end P(k) "
+                         "gate) — parsed before jax import, listed "
+                         "here for --help")
+    ap.add_argument("--chain", type=int, default=8,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
                          "program per realisation)")
@@ -145,6 +173,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "chain": args.chain,
         "batch": args.batch,
+        "mm_precision": os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"),
     }))
 
 

@@ -180,8 +180,17 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
     assert nbins <= 120, "binned_pk_half_dual_pallas: at most 120 bin edges"
     nrows = 8
     NH = Ny * H
+    # Block height: start at 8 sublanes, then shrink until the block fits
+    # the kernel's scoped-vmem budget.  The unrolled digitize + masked
+    # reductions hold ~4 block-sized f32 temporaries on the kernel stack
+    # (k, idx, wp1, mask), and the TPU scoped-vmem limit is 16 MB — an
+    # (8, 512*257) block is 4.2 MB and overflows it by 64 KB at 512^3
+    # (measured, scripts/tpu_campaign.log followup4).  Capping the block
+    # at 2.5 MB keeps the stack near 10 MB at any N.
     bx = 8
     while Nx % bx != 0:
+        bx //= 2
+    while bx > 1 and bx * NH * jnp.dtype(dtype).itemsize > 2_500_000:
         bx //= 2
     nblk = Nx // bx
 

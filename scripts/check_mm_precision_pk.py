@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""End-to-end P(k) accuracy of the matmul-DFT precision tiers on TPU.
+
+The pipeline's two inverse transforms route through the MXU matmul DFTs
+off CPU (the native C2R is broken at 256^3, ops/fft_safe.py).  Their
+einsum precision trades accuracy for speed: HIGHEST (6-pass bf16) has a
+1.6e-7 per-transform field error, HIGH (3-pass) 2.9e-5, and HIGH is ~25%
+faster end to end (scripts/tpu_campaign.log).  This script measures what
+that per-transform error does to the FINAL cleaned spectrum: it runs the
+full pipeline twice on the same key — once per precision — and reports
+the max relative P(k) deviation.  HIGH is an acceptable bench default iff
+the deviation is <= the 1e-4 BASELINE criterion.
+
+Run on the real TPU (on CPU both tiers are bit-identical f32 and the
+comparison is vacuous).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_fastbox"))
+
+import numpy as np
+
+import fastbox_tpu
+
+fastbox_tpu.ensure_platform()
+
+from fastbox_tpu.cosmology import build_cosmology
+from fastbox_tpu.grid import GridSpec
+from fastbox_tpu.ops import mmfft
+from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nsamp", type=int, default=256)
+    ap.add_argument("--box", type=float, default=4e3)
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args()
+
+    grid = GridSpec.create(box_scale=(args.box,) * 3, nsamp=args.nsamp,
+                           redshift=0.8)
+    cosmo = build_cosmology(
+        dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
+        redshift=0.8)
+    key = jax.random.PRNGKey(args.seed)
+    config = PipelineConfig(dtype="float32")
+
+    pks = {}
+    for prec in ("HIGHEST", "HIGH"):
+        mmfft.set_precision(prec)
+        jax.clear_caches()  # _PREC is read at trace time
+        out = make_pipeline(grid, cosmo, config)(key)
+        pks[prec] = np.asarray(out["pk_cleaned"], np.float64)
+        print(f"{prec}: pk head {pks[prec][:3]}", flush=True)
+
+    ref = pks["HIGHEST"]
+    good = np.isfinite(ref) & (ref != 0)
+    dev = np.abs(pks["HIGH"][good] / ref[good] - 1.0)
+    print(f"HIGH-vs-HIGHEST pk max rel dev: {dev.max():.3e}", flush=True)
+    print(f"HIGH-vs-HIGHEST pk mean rel dev: {dev.mean():.3e}", flush=True)
+    verdict = "PASS" if dev.max() <= 1e-4 else "FAIL"
+    print(f"mm-precision HIGH 1e-4 criterion: {verdict}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
