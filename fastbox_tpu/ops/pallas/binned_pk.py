@@ -25,6 +25,14 @@ __all__ = ["binned_pk_pallas", "binned_pk_half_dual_pallas"]
 
 _LANES = 128
 
+# Per-input-block byte budget for the dual kernel.  The unrolled digitize +
+# masked reductions hold ~4 block-sized f32 temporaries on the kernel stack,
+# and the TPU scoped-vmem limit is 16 MB, so blocks above ~4 MB overflow it
+# (an (8, 512*257) block = 4.2 MB died 64 KB over the limit at 512^3;
+# scripts/tpu_campaign.log followup4).  Module-level so tests can shrink it
+# to exercise the lane-chunked path at small sizes.
+_VMEM_BLOCK_BUDGET = 2_500_000
+
 
 def _kernel(kx2_ref, edges_ref, pk_ref, ky2_ref, kz2_ref, out_ref, *,
             nbins: int, nrows: int):
@@ -111,8 +119,9 @@ def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
 def _half_dual_kernel(edges_ref, p1_ref, p2_ref, kx2_ref, kyz2_ref,
                       w_ref, out_ref, *, nbins: int, nrows: int):
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -180,19 +189,27 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
     assert nbins <= 120, "binned_pk_half_dual_pallas: at most 120 bin edges"
     nrows = 8
     NH = Ny * H
-    # Block height: start at 8 sublanes, then shrink until the block fits
-    # the kernel's scoped-vmem budget.  The unrolled digitize + masked
-    # reductions hold ~4 block-sized f32 temporaries on the kernel stack
-    # (k, idx, wp1, mask), and the TPU scoped-vmem limit is 16 MB — an
-    # (8, 512*257) block is 4.2 MB and overflows it by 64 KB at 512^3
-    # (measured, scripts/tpu_campaign.log followup4).  Capping the block
-    # at 2.5 MB keeps the stack near 10 MB at any N.
     bx = 8
     while Nx % bx != 0:
-        bx //= 2
-    while bx > 1 and bx * NH * jnp.dtype(dtype).itemsize > 2_500_000:
-        bx //= 2
+        bx //= 2          # tiny test grids: bx == Nx (== full dim, allowed)
     nblk = Nx // bx
+    # Lane chunking: the unrolled digitize + masked reductions hold ~4
+    # block-sized f32 temporaries on the kernel stack (k, idx, wp1, mask),
+    # and the TPU scoped-vmem limit is 16 MB — an (8, 512*257) block is
+    # 4.2 MB and overflows it by 64 KB at 512^3 (measured,
+    # scripts/tpu_campaign.log followup4).  The sublane dim must stay a
+    # multiple of 8, so split the LANE dim instead: pick the smallest
+    # chunk count nc where the chunk stays a multiple of 128 (Pallas
+    # lowering constraint) and the block fits a 2.5 MB budget.
+    itemsize = jnp.dtype(dtype).itemsize
+    nc = 1
+    if bx * NH * itemsize > _VMEM_BLOCK_BUDGET and NH % 128 == 0:
+        for cand in range(2, NH // 128 + 1):
+            if NH % cand == 0 and (NH // cand) % 128 == 0:
+                nc = cand
+                if bx * (NH // cand) * itemsize <= _VMEM_BLOCK_BUDGET:
+                    break
+    CH = NH // nc
 
     kyz2 = (ky2.astype(dtype)[:, None]
             + kz2h.astype(dtype)[None, :]).reshape(1, NH)
@@ -202,20 +219,20 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
         partial(_half_dual_kernel, nbins=int(nbins), nrows=nrows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # edges
-            grid=(nblk,),
+            grid=(nblk, nc),
             in_specs=[
-                pl.BlockSpec((bx, NH), lambda i, *_: (i, 0),
+                pl.BlockSpec((bx, CH), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bx, NH), lambda i, *_: (i, 0),
+                pl.BlockSpec((bx, CH), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bx, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((bx, 1), lambda i, j, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NH), lambda i, *_: (0, 0),
+                pl.BlockSpec((1, CH), lambda i, j, *_: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NH), lambda i, *_: (0, 0),
+                pl.BlockSpec((1, CH), lambda i, j, *_: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((nrows, _LANES), lambda i, *_: (0, 0),
+            out_specs=pl.BlockSpec((nrows, _LANES), lambda i, j, *_: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),

@@ -66,6 +66,41 @@ def test_binned_pk_half_dual_pallas_matches_reference(rng):
     assert np.allclose(np.asarray(s2p), np.asarray(s2r), rtol=1e-5)
 
 
+def test_binned_pk_half_dual_pallas_lane_chunked(rng, monkeypatch):
+    """The lane-chunked (2D-grid) dual kernel matches the unchunked one.
+
+    At 512^3 a full-row (8, Ny*H) block overflows the 16 MB scoped-vmem
+    limit, so the kernel splits the lane dim into 128-multiple chunks.
+    Exercise that path at a small size by shrinking the block budget:
+    (16, 128, 65) rows are 8320 lanes (a multiple of 128), and a 100 KB
+    budget forces nc=5 chunks of 1664 lanes.  The budget is read at
+    trace time, so the chunked call must use a fresh shape (it does:
+    no other test uses Ny=128)."""
+    from fastbox_tpu.ops.pallas import binned_pk as bpk
+
+    Nx, Ny, H = 16, 128, 65
+    p1 = jnp.asarray(rng.random((Nx, Ny, H)), dtype=jnp.float32)
+    p2 = jnp.asarray(rng.random((Nx, Ny, H)), dtype=jnp.float32)
+    kx2 = jnp.asarray(rng.random(Nx), dtype=jnp.float32)
+    ky2 = jnp.asarray(rng.random(Ny), dtype=jnp.float32)
+    kz2h = jnp.asarray(rng.random(H), dtype=jnp.float32)
+    wz = np.full(H, 2.0, dtype=np.float32)
+    wz[0] = 1.0
+    wz[-1] = 1.0
+    edges = jnp.asarray(np.linspace(0.05, 1.6, 12), dtype=jnp.float32)
+    args = (p1, p2, kx2, ky2, kz2h, jnp.asarray(wz), edges)
+
+    base = bpk.binned_pk_half_dual_pallas(*args, interpret=True)
+
+    monkeypatch.setattr(bpk, "_VMEM_BLOCK_BUDGET", 100_000)
+    jax.clear_caches()  # the budget is read at trace time
+    chunked = bpk.binned_pk_half_dual_pallas(*args, interpret=True)
+    jax.clear_caches()  # don't leak the shrunken-budget trace
+
+    for a, b in zip(chunked, base):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 def test_pipeline_pallas_pk_matches_xla_path():
     """pallas_pk='on' (interpreter on CPU) == the default XLA reduction."""
     from fastbox_tpu.cosmology import build_cosmology
