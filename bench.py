@@ -102,6 +102,11 @@ def main():
                          "faster but fails the 1e-4 end-to-end P(k) "
                          "gate) — parsed before jax import, listed "
                          "here for --help")
+    ap.add_argument("--mm3d-precision", default=None,
+                    help="einsum precision for the three BIG 3D matmul "
+                         "DFTs only (the tiny 2D FG transforms keep "
+                         "--mm-precision); gate with scripts/"
+                         "check_mm_precision_pk.py before defaulting")
     ap.add_argument("--chain", type=int, default=8,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
@@ -123,7 +128,8 @@ def main():
         dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
         redshift=args.redshift,
     )
-    config = PipelineConfig(dtype="float32")
+    config = PipelineConfig(dtype="float32",
+                            mm3d_precision=args.mm3d_precision)
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
@@ -174,6 +180,7 @@ def main():
         "chain": args.chain,
         "batch": args.batch,
         "mm_precision": os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"),
+        "mm3d_precision": args.mm3d_precision,
     }))
 
 

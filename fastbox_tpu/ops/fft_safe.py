@@ -128,23 +128,31 @@ def _cube_ok(shape, dtype_name):
 # ---------------------------------------------------------------------
 # rank-3 R2C/C2R on a full cube: the one natively-runnable config
 # ---------------------------------------------------------------------
-def rfftn(x, axes=None):
+def rfftn(x, axes=None, precision=None):
     """``jnp.fft.rfftn``.  Probed native for the full-rank 3D case;
-    matmul DFTs for partial-axes or non-3D inputs off CPU."""
+    matmul DFTs for partial-axes or non-3D inputs off CPU.
+
+    ``precision`` overrides the matmul-DFT einsum precision for THIS
+    transform only (None inherits the mmfft module default); it has no
+    effect when the native FFT is used.
+    """
     if axes is None and x.ndim == 3:
         if _native_allowed():
             fwd_ok, _ = _cube_ok(x.shape, jnp.dtype(x.dtype).name)
             if fwd_ok:
                 return jnp.fft.rfftn(x)
-        return mmfft.rfftn3(x)
+        return mmfft.rfftn3(x, precision=precision)
     axes = tuple(range(x.ndim)) if axes is None else tuple(axes)
     if _is_cpu():
         return jnp.fft.rfftn(x, axes=axes)
-    return mmfft.rfftn_any(x, axes)
+    return mmfft.rfftn_any(x, axes, precision=precision)
 
 
-def irfftn(a, s, axes=None):
-    """``jnp.fft.irfftn(a, s=s, axes=axes)`` (s is required here)."""
+def irfftn(a, s, axes=None, precision=None):
+    """``jnp.fft.irfftn(a, s=s, axes=axes)`` (s is required here).
+
+    ``precision`` as in :func:`rfftn`.
+    """
     s = tuple(int(v) for v in s)
     if axes is None and a.ndim == 3 and len(s) == 3:
         if _native_allowed():
@@ -152,11 +160,11 @@ def irfftn(a, s, axes=None):
             _, inv_ok = _cube_ok(s, rname)
             if inv_ok:
                 return jnp.fft.irfftn(a, s=s)
-        return mmfft.irfftn3(a, s)
+        return mmfft.irfftn3(a, s, precision=precision)
     axes = tuple(range(a.ndim)) if axes is None else tuple(axes)
     if _is_cpu():
         return jnp.fft.irfftn(a, s=s, axes=axes)
-    return mmfft.irfftn_any(a, s[-1], axes)
+    return mmfft.irfftn_any(a, s[-1], axes, precision=precision)
 
 
 # ---------------------------------------------------------------------

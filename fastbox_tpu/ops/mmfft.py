@@ -61,6 +61,15 @@ def set_precision(name: str):
     _PREC = getattr(jax.lax.Precision, name)
 
 
+def _prec(precision):
+    """Resolve a per-call precision: None -> the module default."""
+    if precision is None:
+        return _PREC
+    if isinstance(precision, str):
+        return getattr(jax.lax.Precision, precision)
+    return precision
+
+
 # Per-length stage-split overrides for empirical tuning, e.g.
 # FACTOR_OVERRIDES[256] = (16, 16) runs the length-256 DFT as two
 # radix-16 matmul stages instead of one dense (256,256) stage.
@@ -139,18 +148,19 @@ def _as_complex(W):
                            jnp.asarray(np.ascontiguousarray(W.imag)))
 
 
-def _dft_last(x, n: int, sign: int):
+def _dft_last(x, n: int, sign: int, precision=None):
     """DFT along the last axis via the matmul ladder (recursive radix)."""
     cdtype = "complex128" if x.dtype == jnp.complex128 else "complex64"
     mats = _stage_mats(n, sign, cdtype, _factor(n))
+    prec = _prec(precision)
 
     def rec(x, level):
         n1, n2, W1, T = mats[level]
         W1 = _as_complex(W1)
         if n2 == 1:
-            return jnp.einsum("...a,ab->...b", x, W1, precision=_PREC)
+            return jnp.einsum("...a,ab->...b", x, W1, precision=prec)
         xs = x.reshape(x.shape[:-1] + (n1, n2))
-        A = jnp.einsum("...ab,ac->...cb", xs, W1, precision=_PREC)
+        A = jnp.einsum("...ab,ac->...cb", xs, W1, precision=prec)
         B = A * _as_complex(T)          # broadcast over leading dims
         X = rec(B, level + 1)           # shape (..., k1, k2)
         X = jnp.swapaxes(X, -1, -2)     # k = k2*n1 + k1
@@ -159,18 +169,18 @@ def _dft_last(x, n: int, sign: int):
     return rec(x.astype(cdtype), 0)
 
 
-def fft(x, axis: int = -1):
+def fft(x, axis: int = -1, precision=None):
     """C2C forward DFT along ``axis`` (any rank, any batch dims)."""
     x = jnp.moveaxis(x, axis, -1)
-    y = _dft_last(x, x.shape[-1], -1)
+    y = _dft_last(x, x.shape[-1], -1, precision)
     return jnp.moveaxis(y, -1, axis)
 
 
-def ifft(x, axis: int = -1):
+def ifft(x, axis: int = -1, precision=None):
     """C2C inverse DFT along ``axis`` (normalised by 1/n)."""
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
-    y = _dft_last(x, n, +1) * (1.0 / n)
+    y = _dft_last(x, n, +1, precision) * (1.0 / n)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -267,7 +277,7 @@ def _r2c_mats(n: int, dtype_name: str):
     return np.cos(ph).astype(dt), (-np.sin(ph)).astype(dt)
 
 
-def rfftn_any(x, axes):
+def rfftn_any(x, axes, precision=None):
     """R2C over ``axes`` (half spectrum along ``axes[-1]``), any rank.
 
     The half axis runs as two real-matrix MXU contractions, then C2C
@@ -280,15 +290,16 @@ def rfftn_any(x, axes):
     rdt = "float64" if x.dtype == jnp.float64 else "float32"
     Cr, Ci = _r2c_mats(n, rdt)
     xm = jnp.moveaxis(x, al, -1)
-    cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=_PREC)
-    ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=_PREC)
+    prec = _prec(precision)
+    cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=prec)
+    ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=prec)
     c = jnp.moveaxis(jax.lax.complex(cr, ci), -1, al)
     for ax in axes[:-1]:
-        c = fft(c, ax)
+        c = fft(c, ax, precision=precision)
     return c
 
 
-def irfftn_any(a_half, n_last: int, axes):
+def irfftn_any(a_half, n_last: int, axes, precision=None):
     """C2R over ``axes`` from the half spectrum along ``axes[-1]``.
 
     C2C matmul DFT inverses over the leading axes on half-width data,
@@ -301,24 +312,25 @@ def irfftn_any(a_half, n_last: int, axes):
     rdt = "float64" if a_half.dtype == jnp.complex128 else "float32"
     assert a_half.shape[al] == n_last // 2 + 1, (a_half.shape, n_last)
     for ax in axes[:-1]:
-        a_half = ifft(a_half, ax)
+        a_half = ifft(a_half, ax, precision=precision)
     Er, Ei = _c2r_mats(n_last, rdt)
     am = jnp.moveaxis(a_half, al, -1)
-    y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=_PREC)
-         - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=_PREC))
+    prec = _prec(precision)
+    y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=prec)
+         - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=prec))
     return jnp.moveaxis(y, -1, al)
 
 
-def irfftn3(a_half, s):
+def irfftn3(a_half, s, precision=None):
     """``jnp.fft.irfftn(a, s=s)`` replacement for a 3D half spectrum."""
     assert a_half.ndim == 3
-    return irfftn_any(a_half, s[-1], (0, 1, 2))
+    return irfftn_any(a_half, s[-1], (0, 1, 2), precision=precision)
 
 
-def rfftn3(x):
+def rfftn3(x, precision=None):
     """``jnp.fft.rfftn(x)`` replacement for a real 3D cube."""
     assert x.ndim == 3
-    return rfftn_any(x, (0, 1, 2))
+    return rfftn_any(x, (0, 1, 2), precision=precision)
 
 
 def _hermitian_full(h, n_last: int):

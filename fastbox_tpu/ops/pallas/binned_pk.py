@@ -25,13 +25,17 @@ __all__ = ["binned_pk_pallas", "binned_pk_half_dual_pallas"]
 
 _LANES = 128
 
-# Per-input-block byte budget for the dual kernel.  The unrolled digitize +
-# masked reductions hold ~4 block-sized f32 temporaries on the kernel stack,
-# and the TPU scoped-vmem limit is 16 MB, so blocks above ~4 MB overflow it
-# (an (8, 512*257) block = 4.2 MB died 64 KB over the limit at 512^3;
-# scripts/tpu_campaign.log followup4).  Module-level so tests can shrink it
-# to exercise the lane-chunked path at small sizes.
-_VMEM_BLOCK_BUDGET = 2_500_000
+# Per-input-block byte budget for the dual kernel.  Scoped vmem holds the
+# double-buffered input windows (2 fields x 2 buffers x 8 sublanes + 2
+# broadcast rows x 2 buffers) PLUS ~4 block-sized kernel-stack temporaries
+# (k, idx, wp1, mask) — altogether ~68 x CH x itemsize ~= 17x the (8, CH)
+# block.  The TPU scoped limit is 16 MB: a 4.2 MB block hit 16.06 MB and a
+# 2.1 MB block hit 18.67 MB (more buffers live once chunked) — both
+# measured at 512^3, scripts/tpu_campaign.log followup4/5.  1 MB blocks
+# put scoped usage near 9 MB; 256^3 (1.06 MB rows) stays single-chunk,
+# which compiles and runs at 16 MB-limit margin (measured 3.5 ms).
+# Module-level so tests can shrink it to force the chunked path.
+_VMEM_BLOCK_BUDGET = 1_100_000
 
 
 def _kernel(kx2_ref, edges_ref, pk_ref, ky2_ref, kz2_ref, out_ref, *,

@@ -93,6 +93,16 @@ class PipelineConfig:
     # measured ~0.5% P(k) deviation (scripts/bench_matrix.py) — beyond
     # the 1e-4 criterion, so it stays opt-in.
     fft_pair: bool = False
+    # Matmul-DFT einsum precision for the three BIG 3D transforms only
+    # (the delta_x / vel_z inverses and the cleaned-cube forward), which
+    # touch signal-scale fields where the per-transform error is NOT
+    # amplified.  None inherits the mmfft module default.  The small 2D
+    # foreground transforms always keep the module default: the FG cube
+    # is 100-1000x brighter than the signal, so ITS 2.9e-5 HIGH-tier
+    # error is signal-scale after PCA — that is where the all-HIGH mode
+    # failed the 1e-4 end-to-end gate (scripts/check_mm_precision_pk.py).
+    # Gate "HIGH" here on TPU before making it a default.
+    mm3d_precision: str | None = None
     # Binned-P(k) reduction backend for step (9): 'auto' uses the fused
     # Pallas kernel (ops/pallas/binned_pk.py) on TPU and the XLA one-hot
     # scan elsewhere; 'on'/'off' force it.  The Pallas slab accumulation
@@ -213,7 +223,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         if rows_mode:
             white = row_normal(key, TAGS["density"], 0, grid.N,
                                (grid.N, grid.N), dtype)
-            white_h = fft_safe.rfftn(white) * dtype.type(grid.N ** -1.5)
+            white_h = fft_safe.rfftn(
+                white, precision=config.mm3d_precision
+            ) * dtype.type(grid.N ** -1.5)
         else:
             white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
         delta_k = white_h * amp_half
@@ -235,8 +247,12 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             delta_x = delta_x.astype(dtype)
             vel_z = vel_z.astype(dtype)
         else:
-            delta_x = fft_safe.irfftn(delta_k, s=grid.shape).astype(dtype)
-            vel_z = fft_safe.irfftn(vz_k, s=grid.shape).astype(dtype)
+            delta_x = fft_safe.irfftn(
+                delta_k, s=grid.shape,
+                precision=config.mm3d_precision).astype(dtype)
+            vel_z = fft_safe.irfftn(
+                vz_k, s=grid.shape,
+                precision=config.mm3d_precision).astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)
@@ -327,7 +343,7 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # full-grid convention of box.py:696-768; both cubes share one
         # histogram pass)
         boxf = jnp.asarray(grid.boxfactor, dtype)
-        ck = fft_safe.rfftn(cleaned)
+        ck = fft_safe.rfftn(cleaned, precision=config.mm3d_precision)
         p_clean = (ck * jnp.conj(ck)).real / boxf
         p_dens = (delta_k * jnp.conj(delta_k)).real / boxf
         if use_pallas_pk:

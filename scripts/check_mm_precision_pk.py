@@ -50,23 +50,35 @@ def main():
         dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
         redshift=0.8)
     key = jax.random.PRNGKey(args.seed)
-    config = PipelineConfig(dtype="float32")
 
+    # MIX3D: the three big 3D transforms at HIGH, everything else (the
+    # tiny 2D foreground transforms) at HIGHEST.  Hypothesis: the all-HIGH
+    # failure is amplified through the FG path (the FG cube is 100-1000x
+    # the signal, so its 2.9e-5 relative error is signal-scale after PCA),
+    # while the signal-scale 3D transforms tolerate HIGH.
+    cases = {
+        "HIGHEST": ("HIGHEST", None),
+        "HIGH": ("HIGH", None),
+        "MIX3D": ("HIGHEST", "HIGH"),
+    }
     pks = {}
-    for prec in ("HIGHEST", "HIGH"):
-        mmfft.set_precision(prec)
+    for name, (glob, p3) in cases.items():
+        mmfft.set_precision(glob)
         jax.clear_caches()  # _PREC is read at trace time
-        out = make_pipeline(grid, cosmo, config)(key)
-        pks[prec] = np.asarray(out["pk_cleaned"], np.float64)
-        print(f"{prec}: pk head {pks[prec][:3]}", flush=True)
+        cfg = PipelineConfig(dtype="float32", mm3d_precision=p3)
+        out = make_pipeline(grid, cosmo, cfg)(key)
+        pks[name] = np.asarray(out["pk_cleaned"], np.float64)
+        print(f"{name}: pk head {pks[name][:3]}", flush=True)
 
     ref = pks["HIGHEST"]
     good = np.isfinite(ref) & (ref != 0)
-    dev = np.abs(pks["HIGH"][good] / ref[good] - 1.0)
-    print(f"HIGH-vs-HIGHEST pk max rel dev: {dev.max():.3e}", flush=True)
-    print(f"HIGH-vs-HIGHEST pk mean rel dev: {dev.mean():.3e}", flush=True)
-    verdict = "PASS" if dev.max() <= 1e-4 else "FAIL"
-    print(f"mm-precision HIGH 1e-4 criterion: {verdict}", flush=True)
+    for name in ("HIGH", "MIX3D"):
+        dev = np.abs(pks[name][good] / ref[good] - 1.0)
+        print(f"{name}-vs-HIGHEST pk max rel dev: {dev.max():.3e}", flush=True)
+        print(f"{name}-vs-HIGHEST pk mean rel dev: {dev.mean():.3e}",
+              flush=True)
+        verdict = "PASS" if dev.max() <= 1e-4 else "FAIL"
+        print(f"mm-precision {name} 1e-4 criterion: {verdict}", flush=True)
 
 
 if __name__ == "__main__":
