@@ -76,25 +76,56 @@ def _prec(precision):
 # Sweep with scripts/microbench_mmfft.py --factors; read at trace time.
 FACTOR_OVERRIDES: dict[int, tuple[int, ...]] = {}
 
+# Use the fused factored-DFT Pallas kernel (ops/pallas/mmdft.py) for the
+# leading C2C axes of rank-3 rfftn3/irfftn3 on TPU backends.  It runs the
+# butterfly + twiddle + (n2, n2) matmul stages inside VMEM — n2/C of the
+# dense-stage flops with no inter-stage HBM relayout (the reason factored
+# XLA stages lost, scripts/tpu_campaign.log followup7).  Measured 4.8 vs
+# 8.1 ms per 512^3 axis at the same f32 accuracy class.  Env kill switch:
+# FASTBOX_PALLAS_DFT=0.
+PALLAS_DFT = _os.environ.get("FASTBOX_PALLAS_DFT", "1") != "0"
+_PALLAS_INTERPRET = False  # test hook: run the kernel interpreted on CPU
+
+
+def _pallas_dft_ok(shape, axes) -> bool:
+    if not PALLAS_DFT or len(shape) != 3:
+        return False
+    if tuple(axes) != (0, 1, 2):
+        return False
+    from .pallas.mmdft import supported_length
+
+    if not (supported_length(int(shape[0]))
+            and supported_length(int(shape[1]))):
+        return False
+    if _PALLAS_INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
 
 def _factor(n: int) -> tuple[int, ...]:
     """Split n into DFT stage sizes.
 
-    The MXU wants LARGE dense stages: a (16,16) radix stage contracts only
-    16 elements per output (a sliver of a 128x128 systolic tile), while a
-    dense (256,256) DFT matrix is a full-utilization matmul with no
-    twiddle pass at all.  So: one dense stage up to 256, peeling small
-    prefactors only for larger n (512 -> (2, 256), 1024 -> (4, 256) — the
-    tiny stage is negligible flops and lowers to vector adds).
+    The MXU wants ONE LARGE dense stage: a factored split halves the
+    matmul flops but pays for it with the inter-stage reshape/swapaxes
+    relayout (several full-cube HBM passes), which dominates on real
+    cubes.  Measured at 512^3 HIGHEST (scripts/tpu_campaign.log,
+    followup7): dense (512,) runs the rfftn3+irfftn3 roundtrip in
+    40.2 ms vs 89.0 ms for the old (2, 256) peel — every tested split
+    ((2,256), (4,128), (8,64)) loses to dense.  So: one dense stage up
+    to 1024 (a 1024-point DFT matrix is a 4 MB f32 pair — fine as a
+    device constant), peeling small prefactors only beyond that.
     """
     ov = FACTOR_OVERRIDES.get(n)
     if ov is not None:
         assert int(np.prod(ov)) == n, (ov, n)
         return tuple(int(s) for s in ov)
-    if n <= 256:
+    if n <= 1024:
         return (n,)
     out = []
-    while n > 256:
+    while n > 1024:
         for p in (2, 3, 5, 7):
             if n % p == 0:
                 out.append(p)
@@ -293,6 +324,13 @@ def rfftn_any(x, axes, precision=None):
     prec = _prec(precision)
     cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=prec)
     ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=prec)
+    if rdt == "float32" and _pallas_dft_ok(cr.shape, axes):
+        from .pallas.mmdft import dft_c2c_axis_pallas
+
+        for ax in axes[:-1]:
+            cr, ci = dft_c2c_axis_pallas(cr, ci, ax, -1, precision=prec,
+                                         interpret=_PALLAS_INTERPRET)
+        return jax.lax.complex(cr, ci)
     c = jnp.moveaxis(jax.lax.complex(cr, ci), -1, al)
     for ax in axes[:-1]:
         c = fft(c, ax, precision=precision)
@@ -311,11 +349,21 @@ def irfftn_any(a_half, n_last: int, axes, precision=None):
     al = axes[-1]
     rdt = "float64" if a_half.dtype == jnp.complex128 else "float32"
     assert a_half.shape[al] == n_last // 2 + 1, (a_half.shape, n_last)
+    prec = _prec(precision)
+    Er, Ei = _c2r_mats(n_last, rdt)
+    if rdt == "float32" and _pallas_dft_ok(a_half.shape, axes):
+        from .pallas.mmdft import dft_c2c_axis_pallas
+
+        ar, ai = jnp.real(a_half), jnp.imag(a_half)
+        for ax in axes[:-1]:
+            ar, ai = dft_c2c_axis_pallas(ar, ai, ax, +1, inverse_scale=True,
+                                         precision=prec,
+                                         interpret=_PALLAS_INTERPRET)
+        return (jnp.einsum("...k,kx->...x", ar, Er, precision=prec)
+                - jnp.einsum("...k,kx->...x", ai, Ei, precision=prec))
     for ax in axes[:-1]:
         a_half = ifft(a_half, ax, precision=precision)
-    Er, Ei = _c2r_mats(n_last, rdt)
     am = jnp.moveaxis(a_half, al, -1)
-    prec = _prec(precision)
     y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=prec)
          - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=prec))
     return jnp.moveaxis(y, -1, al)

@@ -182,9 +182,15 @@ def bench_factors(nsamp=256, K=8):
     N = nsamp
     x = jax.random.normal(jax.random.PRNGKey(3), (N, N, N), jnp.float32)
 
-    for split in _splits_for(N):
+    # Optional filters: MM_SPLITS="512;2,256;4,128" MM_PRECS="HIGHEST"
+    want = os.environ.get("MM_SPLITS")
+    splits = (_splits_for(N) if not want else
+              [tuple(int(v) for v in s.split(",")) for s in want.split(";")])
+    precs = tuple(os.environ.get("MM_PRECS", "HIGH,HIGHEST").split(","))
+    for split in splits:
+        assert int(np.prod(split)) == N, split
         mmfft.FACTOR_OVERRIDES[N] = split
-        for prec in ("HIGH", "HIGHEST"):
+        for prec in precs:
             mmfft.set_precision(prec)
 
             @jax.jit
@@ -214,6 +220,7 @@ if __name__ == "__main__":
     if os.environ.get("MM_HALF"):
         bench_half()
     elif os.environ.get("MM_FACTORS"):
-        bench_factors(int(os.environ.get("MM_NSAMP", "256")))
+        bench_factors(int(os.environ.get("MM_NSAMP", "256")),
+                      K=int(os.environ.get("MM_K", "8")))
     else:
         main()
