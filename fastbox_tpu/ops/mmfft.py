@@ -76,14 +76,18 @@ def _prec(precision):
 # Sweep with scripts/microbench_mmfft.py --factors; read at trace time.
 FACTOR_OVERRIDES: dict[int, tuple[int, ...]] = {}
 
-# Use the fused factored-DFT Pallas kernel (ops/pallas/mmdft.py) for the
-# leading C2C axes of rank-3 rfftn3/irfftn3 on TPU backends.  It runs the
-# butterfly + twiddle + (n2, n2) matmul stages inside VMEM — n2/C of the
-# dense-stage flops with no inter-stage HBM relayout (the reason factored
-# XLA stages lost, scripts/tpu_campaign.log followup7).  Measured 4.8 vs
-# 8.1 ms per 512^3 axis at the same f32 accuracy class.  Env kill switch:
-# FASTBOX_PALLAS_DFT=0.
-PALLAS_DFT = _os.environ.get("FASTBOX_PALLAS_DFT", "1") != "0"
+# Opt-in: route the leading C2C axes of rank-3 rfftn3/irfftn3 through the
+# fused factored-DFT Pallas kernel (ops/pallas/mmdft.py) on TPU backends.
+# In ISOLATION the kernel wins (4.8 vs 8.1 ms per 512^3 axis: butterfly +
+# twiddle + (n2,n2) matmul in VMEM at n2/C of the dense flops — see
+# scripts/probe_mosaic_dft.py), but IN COMPOSITION the full pipeline is
+# SLOWER (256^3: 60.0 vs 73.0 pipelines/s; 512^3: 6.72 vs 7.33 — campaign
+# followup11 vs followup8): the planar axis-0 einsum + real/imag plumbing
+# costs more than the kernel saves, and the cleaned-P(k) low bins move
+# ~2e-3 relative vs the shipping einsum path (the same PCA-amplified
+# accuracy class that kept mm-precision HIGH/MIX3D opt-in).  Default OFF;
+# enable with FASTBOX_PALLAS_DFT=1 to experiment.
+PALLAS_DFT = _os.environ.get("FASTBOX_PALLAS_DFT", "0") == "1"
 _PALLAS_INTERPRET = False  # test hook: run the kernel interpreted on CPU
 
 
@@ -94,8 +98,7 @@ def _pallas_dft_ok(shape, axes) -> bool:
         return False
     from .pallas.mmdft import supported_length
 
-    if not (supported_length(int(shape[0]))
-            and supported_length(int(shape[1]))):
+    if not supported_length(int(shape[1])):
         return False
     if _PALLAS_INTERPRET:
         return True
@@ -103,6 +106,45 @@ def _pallas_dft_ok(shape, axes) -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+@lru_cache(maxsize=32)
+def _dense_w_planar(n: int, sign: int, inverse_scale: bool):
+    """Dense (n, n) DFT matrix as a float32 (cos, sin) pair."""
+    ph = sign * 2.0 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
+    scale = (1.0 / n) if inverse_scale else 1.0
+    return ((np.cos(ph) * scale).astype(np.float32),
+            (np.sin(ph) * scale).astype(np.float32))
+
+
+def _dft_pair_leading(cr, ci, ax: int, sign: int, inverse_scale: bool,
+                      prec):
+    """One leading-axis C2C DFT on a planar (re, im) rank-3 pair.
+
+    Axis 1 (and axis 0 up to C=256) runs the fused factored Pallas
+    kernel; larger axis-0 transforms fall back to four direct
+    "kj,jab->kab" einsums — the contraction runs in place on dim 0 with
+    no moveaxis relayout, unlike the complex ``fft()`` path.
+    """
+    from .pallas import mmdft
+
+    C = cr.shape[ax]
+    use_pallas = (mmdft.supported_length(C) if ax == 1
+                  else mmdft.axis0_supported(C))
+    if use_pallas:
+        return mmdft.dft_c2c_axis_pallas(cr, ci, ax, sign,
+                                         inverse_scale=inverse_scale,
+                                         precision=prec,
+                                         interpret=_PALLAS_INTERPRET)
+    wr, wi = _dense_w_planar(C, sign, inverse_scale)
+    wr = jnp.asarray(wr)
+    wi = jnp.asarray(wi)
+    eq = "kj,jab->kab" if ax == 0 else "kj,ajb->akb"
+    yr = (jnp.einsum(eq, wr, cr, precision=prec)
+          - jnp.einsum(eq, wi, ci, precision=prec))
+    yi = (jnp.einsum(eq, wr, ci, precision=prec)
+          + jnp.einsum(eq, wi, cr, precision=prec))
+    return yr, yi
 
 
 def _factor(n: int) -> tuple[int, ...]:
@@ -325,11 +367,8 @@ def rfftn_any(x, axes, precision=None):
     cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=prec)
     ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=prec)
     if rdt == "float32" and _pallas_dft_ok(cr.shape, axes):
-        from .pallas.mmdft import dft_c2c_axis_pallas
-
         for ax in axes[:-1]:
-            cr, ci = dft_c2c_axis_pallas(cr, ci, ax, -1, precision=prec,
-                                         interpret=_PALLAS_INTERPRET)
+            cr, ci = _dft_pair_leading(cr, ci, ax, -1, False, prec)
         return jax.lax.complex(cr, ci)
     c = jnp.moveaxis(jax.lax.complex(cr, ci), -1, al)
     for ax in axes[:-1]:
@@ -352,13 +391,9 @@ def irfftn_any(a_half, n_last: int, axes, precision=None):
     prec = _prec(precision)
     Er, Ei = _c2r_mats(n_last, rdt)
     if rdt == "float32" and _pallas_dft_ok(a_half.shape, axes):
-        from .pallas.mmdft import dft_c2c_axis_pallas
-
         ar, ai = jnp.real(a_half), jnp.imag(a_half)
         for ax in axes[:-1]:
-            ar, ai = dft_c2c_axis_pallas(ar, ai, ax, +1, inverse_scale=True,
-                                         precision=prec,
-                                         interpret=_PALLAS_INTERPRET)
+            ar, ai = _dft_pair_leading(ar, ai, ax, +1, True, prec)
         return (jnp.einsum("...k,kx->...x", ar, Er, precision=prec)
                 - jnp.einsum("...k,kx->...x", ai, Ei, precision=prec))
     for ax in axes[:-1]:

@@ -57,6 +57,14 @@ def supported_length(C: int) -> bool:
     return _split(C) is not None
 
 
+def axis0_supported(C: int) -> bool:
+    """Axis-0 tiles must carry 8 middle rows (Mosaic block rule), so the
+    working set is 8x an axis-1 tile — within the ~16 MB VMEM budget only
+    up to C = 256.  Larger axis-0 transforms use the caller's planar
+    dense-einsum fallback."""
+    return supported_length(C) and C <= 256
+
+
 def _split(C: int):
     for n1 in (4, 2):
         n2, rem = divmod(C, n1)
@@ -106,38 +114,56 @@ def _butterfly(xs_r, xs_i, sign: int):
     return ar, ai
 
 
-def _kernel(w2r_ref, w2i_ref, tr_ref, ti_ref, xr_ref, xi_ref,
-            yr_ref, yi_ref, *, n1: int, n2: int, sign: int, axis: int,
-            precision):
+def _stages(xr, xi, tr_full, ti_full, w2r, w2i, *, n1, n2, sign, precision):
+    """Butterflies + twiddle + stage-2 dots on a (C, ...) tile.
+
+    ``xr``/``xi`` may be rank 2 (C, L) or rank 3 (C, T, L) — the
+    butterflies slice dim 0 and the stage-2 contraction runs over dim 0
+    via dot_general, so trailing dims ride along unchanged.
+    """
     C = n1 * n2
-    if axis == 0:
-        xr, xi = xr_ref[:, 0, :], xi_ref[:, 0, :]       # (C, LB)
-    else:
-        xr, xi = xr_ref[0], xi_ref[0]
     xs_r = [xr[k * n2:(k + 1) * n2] for k in range(n1)]
     xs_i = [xi[k * n2:(k + 1) * n2] for k in range(n1)]
     ar, ai = _butterfly(xs_r, xs_i, sign)
 
-    w2r, w2i = w2r_ref[:], w2i_ref[:]
-    dot = partial(jnp.dot, precision=precision,
-                  preferred_element_type=jnp.float32)
+    nd = ((( 1,), (0,)), ((), ()))
+    dot = partial(jax.lax.dot_general, dimension_numbers=nd,
+                  precision=precision, preferred_element_type=jnp.float32)
+    extra = (1,) * (xr.ndim - 2)
     outs_r, outs_i = [], []
     for k1 in range(n1):
-        tr = tr_ref[k1 * n2:(k1 + 1) * n2]              # (n2, 1)
-        ti = ti_ref[k1 * n2:(k1 + 1) * n2]
+        tr = tr_full[k1 * n2:(k1 + 1) * n2].reshape((n2,) + extra + (1,))
+        ti = ti_full[k1 * n2:(k1 + 1) * n2].reshape((n2,) + extra + (1,))
         br = ar[k1] * tr - ai[k1] * ti
         bi = ar[k1] * ti + ai[k1] * tr
         outs_r.append(dot(w2r, br) - dot(w2i, bi))
         outs_i.append(dot(w2r, bi) + dot(w2i, br))
     # interleave: out[k1 + n1*k2] = Y_k1[k2]  (k2-major stack)
-    yr = jnp.stack(outs_r, axis=1).reshape(C, xr.shape[-1])
-    yi = jnp.stack(outs_i, axis=1).reshape(C, xr.shape[-1])
-    if axis == 0:
-        yr_ref[:, 0, :] = yr
-        yi_ref[:, 0, :] = yi
-    else:
-        yr_ref[0] = yr
-        yi_ref[0] = yi
+    yr = jnp.stack(outs_r, axis=1).reshape((C,) + xr.shape[1:])
+    yi = jnp.stack(outs_i, axis=1).reshape((C,) + xr.shape[1:])
+    return yr, yi
+
+
+def _kernel_ax1(w2r_ref, w2i_ref, tr_ref, ti_ref, xr_ref, xi_ref,
+                yr_ref, yi_ref, *, n1: int, n2: int, sign: int, precision):
+    yr, yi = _stages(xr_ref[0], xi_ref[0], tr_ref[:], ti_ref[:],
+                     w2r_ref[:], w2i_ref[:], n1=n1, n2=n2, sign=sign,
+                     precision=precision)
+    yr_ref[0] = yr
+    yi_ref[0] = yi
+
+
+def _kernel_ax0(w2r_ref, w2i_ref, tr_ref, ti_ref, xr_ref, xi_ref,
+                yr_ref, yi_ref, *, n1: int, n2: int, sign: int, precision):
+    # Block (C, 8, LB): the Mosaic lowering requires the last two block
+    # dims be (multiple of 8, multiple of 128), so the axis-0 tile carries
+    # 8 middle rows; the stage-2 dot_general contracts dim 0 with the
+    # trailing (8, LB) dims riding along.
+    yr, yi = _stages(xr_ref[:], xi_ref[:], tr_ref[:], ti_ref[:],
+                     w2r_ref[:], w2i_ref[:], n1=n1, n2=n2, sign=sign,
+                     precision=precision)
+    yr_ref[:] = yr
+    yi_ref[:] = yi
 
 
 @partial(jax.jit,
@@ -169,13 +195,21 @@ def dft_c2c_axis_pallas(xr, xi, axis: int, sign: int,
 
     nlb = pl.cdiv(M, _LB)
     if axis == 0:
-        grid = (B, nlb)
-        dspec = pl.BlockSpec((C, 1, _LB), lambda i, j: (0, i, j),
+        # Middle block dim must be a multiple of 8 (Mosaic tiling rule).
+        bt = 8
+        while B % bt != 0:
+            bt //= 2
+        if bt < 8 and B >= 8:
+            bt = B  # odd middle dims: take the whole axis per tile
+        grid = (B // bt, nlb)
+        dspec = pl.BlockSpec((C, bt, _LB), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM)
+        kern = _kernel_ax0
     else:
         grid = (A, nlb)
         dspec = pl.BlockSpec((1, C, _LB), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
+        kern = _kernel_ax1
     cspec = [
         pl.BlockSpec((n2, n2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n2, n2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -184,8 +218,7 @@ def dft_c2c_axis_pallas(xr, xi, axis: int, sign: int,
     ]
 
     yr, yi = pl.pallas_call(
-        partial(_kernel, n1=n1, n2=n2, sign=sign, axis=axis,
-                precision=precision),
+        partial(kern, n1=n1, n2=n2, sign=sign, precision=precision),
         grid=grid,
         in_specs=cspec + [dspec, dspec],
         out_specs=[dspec, dspec],

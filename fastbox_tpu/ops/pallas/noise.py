@@ -51,8 +51,21 @@ def _kernel(seed_ref, x_ref, scale_ref, out_ref):
     out_ref[:] = x + scale_ref[:] * n     # scale (1, C) broadcasts
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def add_scaled_normal_pallas(x2d, scale_row, seed, interpret: bool = False):
+def _kernel_max(seed_ref, x_ref, scale_ref, out_ref, max_ref):
+    """As _kernel, also emitting max|out| per row-block (a free scalar
+    by-product the RSD remap uses as its displacement bound — it saves a
+    separate full-cube reduction pass)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    x = x_ref[:]
+    n, _ = _box_muller(x.shape, jnp.dtype(x.dtype))
+    y = x + scale_ref[:] * n
+    out_ref[:] = y
+    max_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(y))
+
+
+@partial(jax.jit, static_argnames=("interpret", "return_max"))
+def add_scaled_normal_pallas(x2d, scale_row, seed, interpret: bool = False,
+                             return_max: bool = False):
     """x2d + scale_row[None, :] * N(0,1), fused in VMEM.
 
     Parameters:
@@ -61,30 +74,53 @@ def add_scaled_normal_pallas(x2d, scale_row, seed, interpret: bool = False):
             scalar sigma).
         seed: int32 scalar (derive from a jax key with jax.random.bits);
             each row-block reseeds with (seed, block_index).
+        return_max: also return ``max|result|`` (a scalar), computed from
+            per-block maxima inside the kernel at no extra HBM pass.
 
     Returns:
-        (R, C) array, same dtype as x2d.
+        (R, C) array, same dtype as x2d; with ``return_max`` a
+        ``(out, maxabs)`` tuple.
     """
     R, C = x2d.shape
     dtype = x2d.dtype
     br = min(_BLOCK_R, R)
     assert R % br == 0, f"R={R} must be a multiple of {br}"
+    nblk = R // br
 
-    return pl.pallas_call(
-        _kernel,
+    seed_arg = jnp.asarray(seed, jnp.int32).reshape(1)
+    scale_arg = scale_row.astype(dtype).reshape(1, C)
+    dspec_in = [
+        pl.BlockSpec((br, C), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    dspec_out = pl.BlockSpec((br, C), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    if not return_max:
+        return pl.pallas_call(
+            _kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nblk,),
+                in_specs=dspec_in,
+                out_specs=dspec_out,
+            ),
+            out_shape=jax.ShapeDtypeStruct((R, C), dtype),
+            interpret=interpret,
+        )(seed_arg, x2d, scale_arg)
+    out, bmax = pl.pallas_call(
+        _kernel_max,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(R // br,),
-            in_specs=[
-                pl.BlockSpec((br, C), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C), lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
+            grid=(nblk,),
+            in_specs=dspec_in,
+            out_specs=[
+                dspec_out,
+                pl.BlockSpec((nblk, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((br, C), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((R, C), dtype),
+        out_shape=[jax.ShapeDtypeStruct((R, C), dtype),
+                   jax.ShapeDtypeStruct((nblk, 1), dtype)],
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x2d,
-      scale_row.astype(dtype).reshape(1, C))
+    )(seed_arg, x2d, scale_arg)
+    return out, jnp.max(bmax[:, 0])

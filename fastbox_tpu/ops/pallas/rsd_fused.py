@@ -59,15 +59,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rsd_bracket_interp_pallas"]
+__all__ = ["rsd_bracket_interp_pallas", "rsd_remap_wrap_pallas"]
 
 _BLOCK_M = 256
 
 
-def _kernel(z_ref, s_ref, v_ref, fill_ref, out_ref, *, C: int, band: int):
-    z = z_ref[:]                          # (1, C) target coordinates
-    s = s_ref[:]                          # (bm, C) wrapped node coordinates
-    v = v_ref[:]
+def _bracket_interp(z, s, v, fill, *, C: int, band: int):
+    """Shared kernel body: bracket scan + interp + hull fill.
+
+    z (1, C) targets; s (bm, C) wrapped node coords; v (bm, C) values;
+    fill (bm, 1).  Returns the (bm, C) interpolated block.
+    """
     dtype = v.dtype
     BIG = dtype.type(jnp.finfo(dtype).max / 4)
 
@@ -106,7 +108,31 @@ def _kernel(z_ref, s_ref, v_ref, fill_ref, out_ref, *, C: int, band: int):
     smin = jnp.min(s, axis=1, keepdims=True)
     smax = jnp.max(s, axis=1, keepdims=True)
     inside = (z >= smin) & (z <= smax)
-    out_ref[:] = jnp.where(inside, out, fill_ref[:])
+    return jnp.where(inside, out, fill)
+
+
+def _kernel(z_ref, s_ref, v_ref, fill_ref, out_ref, *, C: int, band: int):
+    out_ref[:] = _bracket_interp(z_ref[:], s_ref[:], v_ref[:], fill_ref[:],
+                                 C=C, band=band)
+
+
+def _kernel_wrap(wrap_ref, z_ref, vel_ref, v_ref, fill_ref, out_ref, *,
+                 C: int, band: int):
+    """Variant computing the wrapped redshift-space coordinate in-tile.
+
+    ``vel_ref`` is the raw LOS velocity (km/s); ``wrap_ref`` is a
+    scalar-prefetched (3,) row (z0, length_z, 1/Hz).  Computing
+    ``s = (z - v/Hz - z0) mod L + z0`` here saves the HBM write + read
+    of the (M, C) wrapped-coordinate cube the plain kernel consumes
+    (~4 ms at 512^3).
+    """
+    z = z_ref[:]
+    z0 = wrap_ref[0]
+    length = wrap_ref[1]
+    inv_hz = wrap_ref[2]
+    u = z - vel_ref[:] * inv_hz
+    s = jnp.mod(u - z0, length) + z0
+    out_ref[:] = _bracket_interp(z, s, v_ref[:], fill_ref[:], C=C, band=band)
 
 
 @partial(jax.jit, static_argnames=("band", "interpret"))
@@ -151,3 +177,53 @@ def rsd_bracket_interp_pallas(s, v, ztarget, fill, band: int = 4,
         out_shape=jax.ShapeDtypeStruct((M, C), dtype),
         interpret=interpret,
     )(ztarget.reshape(1, C), s, v, fill.reshape(M, 1))
+
+
+@partial(jax.jit, static_argnames=("band", "interpret"))
+def rsd_remap_wrap_pallas(vals, vel, ztarget, fill, z0, length_z, inv_hz,
+                          band: int = 4, interpret: bool = False):
+    """Wrap-fused variant: computes s = (z - v/Hz - z0) mod L + z0 in-tile.
+
+    Parameters:
+        vals: (M, C) values to remap (the density field rows).
+        vel: (M, C) LOS velocity (km/s), noise already applied.
+        ztarget: (C,) uniform target grid.
+        fill: (M,) hull fill values.
+        z0, length_z, inv_hz: wrap origin, wrap period (z[-1]-z[0],
+            matching the reference box.py:425) and 1/H(a) — traced
+            scalars, delivered to SMEM via scalar prefetch.
+        band: displacement bound in cells (caller must verify
+            max|v|/Hz <= band*dz, exactly as for the plain kernel).
+
+    Returns:
+        (M, C) remapped values.
+    """
+    M, C = vals.shape
+    assert C & (C - 1) == 0, f"C={C} must be a power of two"
+    dtype = vals.dtype
+    bm = min(_BLOCK_M, M, max(8, (_BLOCK_M * 256) // C))
+    assert M % bm == 0, f"M={M} must be a multiple of {bm}"
+    nblk = M // bm
+
+    wrap = jnp.stack([jnp.asarray(z0, dtype), jnp.asarray(length_z, dtype),
+                      jnp.asarray(inv_hz, dtype)])
+    dspec = pl.BlockSpec((bm, C), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_kernel_wrap, C=C, band=band),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((1, C), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                dspec,
+                dspec,
+                pl.BlockSpec((bm, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=dspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, C), dtype),
+        interpret=interpret,
+    )(wrap, ztarget.reshape(1, C), vel, vals, fill.reshape(M, 1))

@@ -60,14 +60,16 @@ def _pallas_ok(M: int) -> bool:
     return platform in ("tpu", "axon")
 
 
-def add_scaled_normal(x, scale_row, key):
+def add_scaled_normal(x, scale_row, key, return_max: bool = False):
     """x + scale_row[..broadcast..] * N(0,1) along the last axis.
 
     Dispatches to the fused Pallas PRNG kernel on TPU (one read + one
     write of x; the noise never touches HBM), falling back to
     jax.random.normal elsewhere.  ``scale_row`` is a (C,) per-last-axis
     scale; the two streams are statistically identical but not
-    bit-identical.
+    bit-identical.  With ``return_max`` also returns ``max|result|``
+    (free from per-block maxima on the Pallas path; one extra reduction
+    on the fallback) — the RSD remap's displacement bound.
     """
     shape = x.shape
     C = shape[-1]
@@ -76,11 +78,17 @@ def add_scaled_normal(x, scale_row, key):
         from .pallas.noise import add_scaled_normal_pallas
 
         seed = jax.random.bits(key, (), "uint32").astype(jnp.int32)
-        return add_scaled_normal_pallas(
-            x.reshape(R, C), jnp.asarray(scale_row, x.dtype), seed
-        ).reshape(shape)
-    return x + jax.random.normal(key, shape, x.dtype) \
+        out = add_scaled_normal_pallas(
+            x.reshape(R, C), jnp.asarray(scale_row, x.dtype), seed,
+            interpret=_INTERPRET, return_max=return_max)
+        if return_max:
+            return out[0].reshape(shape), out[1]
+        return out.reshape(shape)
+    y = x + jax.random.normal(key, shape, x.dtype) \
         * jnp.asarray(scale_row, x.dtype)
+    if return_max:
+        return y, jnp.max(jnp.abs(y))
+    return y
 
 
 def _interp_sorted_banded(ss, vv, ztarget, w: int):
@@ -318,17 +326,35 @@ def redshift_space_density(
     length_z = z[-1] - z[0]
 
     vel = velocity_z
+    vmax = None
     if sigma_nl > 0.0:
         if key is None:
             raise ValueError("sigma_nl > 0 requires a PRNG `key`.")
-        vel = add_scaled_normal(
-            vel, jnp.full(N, sigma_nl, rdtype), key)
+        vel, vmax = add_scaled_normal(
+            vel, jnp.full(N, sigma_nl, rdtype), key, return_max=True)
+
+    fill = 0.5 * (delta_x[..., 0] + delta_x[..., -1])
+
+    # Fully-fused tiered path (TPU default): the wrap, the displacement
+    # bound and the bracket interpolation never materialise the (N^3)
+    # wrapped-coordinate cube in HBM.  maxdisp = max|v|/Hz comes free
+    # from the noise kernel's block maxima; a lax.cond ladder picks the
+    # narrowest covering band (band 2 scans 16 lane offsets vs 28 for
+    # band 4) with the exact sort-based kernel as the final fallback.
+    if (method == "linear" and _pallas_ok(N * N) and N & (N - 1) == 0
+            and (N * N) % min(256, N * N) == 0):
+        inv_hz = 1.0 / jnp.asarray(Hz, rdtype)
+        maxdisp = (vmax if vmax is not None
+                   else jnp.max(jnp.abs(vel))) * inv_hz
+        dz = float(grid.z[1] - grid.z[0])
+        out = _remap_wrap_tiered(
+            delta_x.reshape(N * N, N), vel.reshape(N * N, N), z,
+            fill.reshape(N * N), z0, length_z, inv_hz, dz, maxdisp, band=4)
+        return out.reshape(N, N, N)
 
     # Redshift-space coordinate per voxel, periodically wrapped (box.py:422-426)
     u = z[None, None, :] - vel / jnp.asarray(Hz, rdtype)
     s = (u - z0) % length_z + z0
-
-    fill = 0.5 * (delta_x[..., 0] + delta_x[..., -1])
 
     out = remap_los_batched(
         delta_x.reshape(N * N, N), s.reshape(N * N, N), z,
@@ -336,3 +362,37 @@ def redshift_space_density(
         s_unwrapped=u.reshape(N * N, N),
     )
     return out.reshape(N, N, N)
+
+
+def _remap_wrap_tiered(vals, vel, ztarget, fill, z0, length_z, inv_hz,
+                       dz: float, maxdisp, band: int = 4):
+    """Tiered dispatch over the wrap-fused bracket kernel.
+
+    band-2 / band-``band`` kernels under ``lax.cond`` on the runtime
+    displacement bound, with the exact sort-based kernel as the final
+    fallback (identical semantics to the plain fused path: the kernels
+    are exact whenever their band covers ``maxdisp``).
+    """
+    from .pallas.rsd_fused import rsd_remap_wrap_pallas
+    from .pallas.rsd_interp import interp_sorted_pallas
+
+    def tier(b):
+        def f(_):
+            return rsd_remap_wrap_pallas(vals, vel, ztarget, fill, z0,
+                                         length_z, inv_hz, band=b,
+                                         interpret=_INTERPRET)
+        return f
+
+    def exact(_):
+        u = ztarget[None, :] - vel * inv_hz
+        s = jnp.mod(u - z0, length_z) + z0
+        ss, vv = lax.sort_key_val(s, vals)
+        return interp_sorted_pallas(ss, vv, ztarget, fill,
+                                    interpret=_INTERPRET)
+
+    def upper(_):
+        return lax.cond(maxdisp <= band * dz, tier(band), exact, None)
+
+    if band > 2:
+        return lax.cond(maxdisp <= 2 * dz, tier(2), upper, None)
+    return upper(None)

@@ -74,6 +74,7 @@ def test_rfftn3_irfftn3_pallas_path(rng, monkeypatch):
         calls.append(kw.get("interpret"))
         return orig(*a, **kw)
 
+    monkeypatch.setattr(mmfft, "PALLAS_DFT", True)
     monkeypatch.setattr(mmfft, "_PALLAS_INTERPRET", True)
     monkeypatch.setattr(mmdft, "dft_c2c_axis_pallas", spy)
 
@@ -89,4 +90,34 @@ def test_rfftn3_irfftn3_pallas_path(rng, monkeypatch):
 
     y = mmfft.irfftn3(a, (N, N, N))
     assert len(calls) == 4, "inverse must route both leading axes"
+    assert np.abs(np.asarray(y, np.float64) - x).max() < 2e-4
+
+
+def test_rfftn3_axis0_planar_fallback(rng, monkeypatch):
+    """Leading axes longer than 256 keep axis 1 on the kernel and run
+    axis 0 through the planar direct-einsum fallback (VMEM budget)."""
+    from fastbox_tpu.ops import mmfft
+    from fastbox_tpu.ops.pallas import mmdft
+
+    calls = []
+    orig = mmdft.dft_c2c_axis_pallas
+
+    def spy(xr, xi, axis, *a, **kw):
+        calls.append(axis)
+        return orig(xr, xi, axis, *a, **kw)
+
+    monkeypatch.setattr(mmfft, "PALLAS_DFT", True)
+    monkeypatch.setattr(mmfft, "_PALLAS_INTERPRET", True)
+    monkeypatch.setattr(mmdft, "dft_c2c_axis_pallas", spy)
+
+    x = rng.standard_normal((512, 256, 64)).astype(np.float32)
+    a = mmfft.rfftn_any(jnp.asarray(x), (0, 1, 2))
+    assert calls == [1], "only axis 1 may use the kernel at C0=512"
+    ref = np.fft.rfftn(np.asarray(x, np.float64))
+    got = np.asarray(jnp.real(a), np.float64) \
+        + 1j * np.asarray(jnp.imag(a), np.float64)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+    y = mmfft.irfftn_any(a, 64, (0, 1, 2))
+    assert calls == [1, 1]
     assert np.abs(np.asarray(y, np.float64) - x).max() < 2e-4

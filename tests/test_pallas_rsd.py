@@ -150,29 +150,41 @@ def test_redshift_space_density_fused_path_interpret(rng, monkeypatch):
     Hz = 70.0
     dz = float(np.asarray(grid.z)[1] - np.asarray(grid.z)[0])
     vel = jnp.asarray(0.3 * Hz * dz * rng.standard_normal((N, N, N)))
+    # displacements ~3 cells: past the band-2 tier, inside band 4
+    vel_mid = jnp.asarray(np.clip(
+        0.9 * Hz * dz * rng.standard_normal((N, N, N)), -3.9 * Hz * dz,
+        3.9 * Hz * dz))
     # shell-crossing velocities: the in-band check fails -> exact fallback
     vel_big = jnp.asarray(8.0 * Hz * dz * rng.standard_normal((N, N, N)))
 
     # Split-path references, traced with _INTERPRET=False
     want = np.asarray(rsd_mod.redshift_space_density(delta, vel, grid, Hz))
+    want_mid = np.asarray(rsd_mod.redshift_space_density(delta, vel_mid,
+                                                         grid, Hz))
     want_big = np.asarray(rsd_mod.redshift_space_density(delta, vel_big,
                                                          grid, Hz))
 
     calls = []
-    real_kernel = fused_mod.rsd_bracket_interp_pallas
+    real_kernel = fused_mod.rsd_remap_wrap_pallas
 
     def spy(*args, **kwargs):
-        calls.append(kwargs.get("interpret"))
+        calls.append((kwargs.get("band"), kwargs.get("interpret")))
         return real_kernel(*args, **kwargs)
 
-    monkeypatch.setattr(fused_mod, "rsd_bracket_interp_pallas", spy)
+    monkeypatch.setattr(fused_mod, "rsd_remap_wrap_pallas", spy)
     monkeypatch.setattr(rsd_mod, "_INTERPRET", True)
     jax.clear_caches()  # drop the _INTERPRET=False trace of the same shapes
 
     got = np.asarray(rsd_mod.redshift_space_density(delta, vel, grid, Hz))
-    assert calls and all(calls), \
-        "fused bracket kernel was never traced in interpret mode"
+    assert calls and all(i for _, i in calls), \
+        "wrap-fused bracket kernel was never traced in interpret mode"
+    assert {b for b, _ in calls} == {2, 4}, \
+        "both band tiers must be traced under the cond ladder"
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    got_mid = np.asarray(rsd_mod.redshift_space_density(delta, vel_mid,
+                                                        grid, Hz))
+    assert np.allclose(got_mid, want_mid, rtol=1e-9, atol=1e-9)
 
     got_big = np.asarray(rsd_mod.redshift_space_density(delta, vel_big,
                                                         grid, Hz))
