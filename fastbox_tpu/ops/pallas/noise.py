@@ -44,10 +44,26 @@ def _box_muller(shape, dtype):
     return r * jnp.cos(th), r * jnp.sin(th)
 
 
+def _normals(shape, dtype):
+    """Exact N(0,1) block.
+
+    Uses BOTH Box-Muller outputs when the row count is even (the cos and
+    sin branches are independent normals), halving the PRNG-bit and
+    log/sqrt/trig cost per value; block rows are 256 in practice so the
+    odd fallback only covers degenerate shapes.
+    """
+    br, c = shape
+    if br % 2 == 0:
+        n1, n2 = _box_muller((br // 2, c), dtype)
+        return jnp.concatenate([n1, n2], axis=0)
+    n, _ = _box_muller(shape, dtype)
+    return n
+
+
 def _kernel(seed_ref, x_ref, scale_ref, out_ref):
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     x = x_ref[:]                          # (BR, C)
-    n, _ = _box_muller(x.shape, jnp.dtype(x.dtype))
+    n = _normals(x.shape, jnp.dtype(x.dtype))
     out_ref[:] = x + scale_ref[:] * n     # scale (1, C) broadcasts
 
 
@@ -57,7 +73,7 @@ def _kernel_max(seed_ref, x_ref, scale_ref, out_ref, max_ref):
     separate full-cube reduction pass)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     x = x_ref[:]
-    n, _ = _box_muller(x.shape, jnp.dtype(x.dtype))
+    n = _normals(x.shape, jnp.dtype(x.dtype))
     y = x + scale_ref[:] * n
     out_ref[:] = y
     max_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(y))
