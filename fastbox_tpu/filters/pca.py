@@ -48,14 +48,22 @@ def pca_filter(field, nmodes: int, return_filter: bool = False):
     d_mean = jnp.mean(d, axis=-1, keepdims=True)
     x = d - d_mean
 
-    # np.cov with ddof=1 (rows already mean-free)
-    cov = (x @ x.T) / (npix - 1)
+    # np.cov with ddof=1 (rows already mean-free).  These three GEMMs run
+    # at HIGHEST precision: at DEFAULT the MXU does a single bf16 pass,
+    # and that rounding alone moved the PCA-cleaned P(k) low bins ~4e-2
+    # relative to the f64 oracle on the same realisation — 14x the f32
+    # conditioning floor — while HIGHEST sits at the floor
+    # (scripts/truth_gate.py, TRUTH_GATE.json).  Cost: the (C, Npix, C)
+    # covariance GEMM is ~1% of the pipeline even 6-passed.
+    prec = jax.lax.Precision.HIGHEST
+    cov = jnp.matmul(x, x.T, precision=prec) / (npix - 1)
 
     eigvals, eigvecs = eigh(cov)          # ascending
     U_fg = eigvecs[:, ::-1][:, :nmodes]   # top modes, descending eigenvalue
 
-    fg_amps = U_fg.T @ x                  # (nmodes, Npix)
-    fg_field = (U_fg @ fg_amps + d_mean).T.reshape(shape)
+    fg_amps = jnp.matmul(U_fg.T, x, precision=prec)   # (nmodes, Npix)
+    fg_field = (jnp.matmul(U_fg, fg_amps, precision=prec)
+                + d_mean).T.reshape(shape)
     cleaned = field - fg_field
 
     if return_filter:
@@ -80,7 +88,8 @@ def pca_filter_subspace(field, nmodes: int, iters: int = 16):
     npix = d.shape[1]
     d_mean = jnp.mean(d, axis=-1, keepdims=True)
     x = d - d_mean
-    cov = (x @ x.T) / (npix - 1)
+    prec = jax.lax.Precision.HIGHEST  # see pca_filter: bf16 GEMMs move
+    cov = jnp.matmul(x, x.T, precision=prec) / (npix - 1)  # cleaned P(k) 4e-2
 
     Q, _ = jnp.linalg.qr(cov[:, :nmodes])
 
@@ -88,12 +97,13 @@ def pca_filter_subspace(field, nmodes: int, iters: int = 16):
         # Orthonormalise via QR each step: with a large eigengap the columns
         # collapse toward the top eigenvector after one multiply, so a
         # Cholesky-of-Gram orthonormalisation goes singular.
-        Y = cov @ Q
+        Y = jnp.matmul(cov, Q, precision=prec)
         Qn, _ = jnp.linalg.qr(Y)
         return Qn
 
     Q = jax.lax.fori_loop(0, iters, body, Q)
 
-    fg_amps = Q.T @ x
-    fg_field = (Q @ fg_amps + d_mean).T.reshape(shape)
+    fg_amps = jnp.matmul(Q.T, x, precision=prec)
+    fg_field = (jnp.matmul(Q, fg_amps, precision=prec)
+                + d_mean).T.reshape(shape)
     return field - fg_field

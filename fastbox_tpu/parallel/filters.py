@@ -42,11 +42,16 @@ def make_sharded_pca_filter(mesh: Mesh, grid: GridSpec, nmodes: int = 4,
         d2 = data.reshape(Np * N, nf)
         mean_spec = lax.psum(jnp.sum(d2, axis=0), "space") / npix
         x = d2 - mean_spec[None, :]
-        cov = lax.psum(x.T @ x, "space") / (npix - 1)
+        # HIGHEST-precision GEMMs: bf16 covariance/projection rounding moves
+        # the cleaned P(k) low bins ~4e-2 vs the f64 oracle (filters/pca.py)
+        prec = jax.lax.Precision.HIGHEST
+        cov = lax.psum(jnp.matmul(x.T, x, precision=prec), "space") \
+            / (npix - 1)
         _, vecs = jnp.linalg.eigh(cov)
         U = vecs[:, ::-1][:, :nmodes]
-        proj = x @ U
-        fg = (proj @ U.T + mean_spec[None, :]).reshape(Np, N, nf)
+        proj = jnp.matmul(x, U, precision=prec)
+        fg = (jnp.matmul(proj, U.T, precision=prec)
+              + mean_spec[None, :]).reshape(Np, N, nf)
         cleaned = data - fg
         if return_filtered:
             return cleaned, fg

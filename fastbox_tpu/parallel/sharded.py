@@ -57,7 +57,8 @@ def _subspace_from_cov(cov, nmodes: int, iters: int = 16):
     Q, _ = jnp.linalg.qr(cov[:, :nmodes])
 
     def body(_, Q):
-        Qn, _ = jnp.linalg.qr(cov @ Q)
+        Qn, _ = jnp.linalg.qr(
+            jnp.matmul(cov, Q, precision=jax.lax.Precision.HIGHEST))
         return Qn
 
     return jax.lax.fori_loop(0, iters, body, Q)
@@ -245,14 +246,19 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         d2 = data.reshape(B_loc, Np * N, N)  # (B, pix_loc, Nfreq)
         mean_spec = lax.psum(jnp.sum(d2, axis=1), "space") / npix_total
         x = d2 - mean_spec[:, None, :]
-        cov = lax.psum(jnp.einsum("bpf,bpg->bfg", x, x), "space") / (npix_total - 1)
+        # HIGHEST-precision GEMMs (see filters/pca.py: bf16 rounding here
+        # moves the cleaned P(k) low bins ~4e-2 vs the f64 oracle)
+        _prec = jax.lax.Precision.HIGHEST
+        cov = lax.psum(jnp.einsum("bpf,bpg->bfg", x, x, precision=_prec),
+                       "space") / (npix_total - 1)
         if config.pca_exact:
             _, vecs = jax.vmap(jnp.linalg.eigh)(cov)
             U = vecs[:, :, ::-1][:, :, : config.pca_nmodes]  # (B, Nf, nmodes)
         else:
             U = jax.vmap(lambda c: _subspace_from_cov(c, config.pca_nmodes))(cov)
-        proj = jnp.einsum("bpf,bfm->bpm", x, U)
-        fg_fit = jnp.einsum("bpm,bfm->bpf", proj, U) + mean_spec[:, None, :]
+        proj = jnp.einsum("bpf,bfm->bpm", x, U, precision=_prec)
+        fg_fit = jnp.einsum("bpm,bfm->bpf", proj, U, precision=_prec) \
+            + mean_spec[:, None, :]
         cleaned = (d2 - fg_fit).reshape(B_loc, Np, N, N)
 
         # --- (8) binned P(k): cleaned cube + underlying density ------

@@ -96,13 +96,30 @@ class PipelineConfig:
     # Matmul-DFT einsum precision for the three BIG 3D transforms only
     # (the delta_x / vel_z inverses and the cleaned-cube forward), which
     # touch signal-scale fields where the per-transform error is NOT
-    # amplified.  None inherits the mmfft module default.  The small 2D
-    # foreground transforms always keep the module default: the FG cube
-    # is 100-1000x brighter than the signal, so ITS 2.9e-5 HIGH-tier
-    # error is signal-scale after PCA — that is where the all-HIGH mode
-    # failed the 1e-4 end-to-end gate (scripts/check_mm_precision_pk.py).
-    # Gate "HIGH" here on TPU before making it a default.
-    mm3d_precision: str | None = None
+    # amplified.  None inherits the mmfft module default (HIGHEST).  The
+    # small 2D foreground transforms always keep the module default: the
+    # FG cube is 100-1000x brighter than the signal, so ITS HIGH-tier
+    # error is signal-scale after PCA — the all-HIGH mode measured 2.1e-2
+    # vs the f64 oracle where the incumbent sits at 6.4e-3
+    # (TRUTH_GATE.json).  "HIGH" *here* is truth-gated admissible: 6.9e-3
+    # vs the oracle, the same class as HIGHEST's 6.4e-3 against an f32
+    # conditioning floor of 2.9e-3 (scripts/truth_gate.py, 2026-08-19) —
+    # so HIGH is the default for the ~2x cheaper big transforms.
+    mm3d_precision: str | None = "HIGH"
+    # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
+    # dtype-dependent (CLAUDE.md): the same key yields different values in
+    # f32 vs f64, so an f64 run is normally a different REALISATION and can
+    # only be compared statistically.  Setting ``draw_dtype='float32'`` on
+    # an f64 pipeline makes every PRNG draw happen in f32 before casting to
+    # the compute dtype, so the f64 run consumes the exact f32 random
+    # stream and becomes a per-bin truth oracle for the f32 run.
+    draw_dtype: str | None = None
+    # The sigma_nl and radiometer-noise draws normally go through the fused
+    # Pallas PRNG kernel on TPU (a different stream than threefry, so
+    # per-bin cross-platform comparison is impossible).  ``threefry_noise``
+    # forces those two draws onto platform-deterministic jax.random calls
+    # inline in the pipeline — slower, gate-only.
+    threefry_noise: bool = False
     # Binned-P(k) reduction backend for step (9): 'auto' uses the fused
     # Pallas kernel (ops/pallas/binned_pk.py) on TPU and the XLA one-hot
     # scan elsewhere; 'on'/'off' force it.  The Pallas slab accumulation
@@ -211,6 +228,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
     rows_mode = config.noise_scheme == "rows"
 
+    ddt = jnp.dtype(config.draw_dtype) if config.draw_dtype else dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
     def fn_inner(key, amp_half, bin_idx):
         from .parallel.rng import TAGS, row_complex_normal, row_normal
 
@@ -227,7 +247,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                 white, precision=config.mm3d_precision
             ) * dtype.type(grid.N ** -1.5)
         else:
-            white_h = gaussian.hermitian_half_noise(k_dens, grid, dtype)
+            white_h = gaussian.hermitian_half_noise(k_dens, grid, ddt)
+            if ddt != dtype:
+                white_h = white_h.astype(cdtype)
         delta_k = white_h * amp_half
 
         # (3, hoisted) LOS velocity spectrum from the Gaussian field
@@ -265,6 +287,15 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                 delta_ln, vel_z, grid, Hz, sigma_nl=0.0,
                 method=config.rsd_method,
             )
+        elif config.threefry_noise and config.sigma_nl > 0.0:
+            # Gate path: platform-deterministic threefry draw in ddt,
+            # mirroring add_scaled_normal's fallback stream shape
+            vel_z = vel_z + dtype.type(config.sigma_nl) * jax.random.normal(
+                k_rsd, grid.shape, ddt).astype(dtype)
+            delta_s = rsd_ops.redshift_space_density(
+                delta_ln, vel_z, grid, Hz, sigma_nl=0.0,
+                method=config.rsd_method,
+            )
         else:
             delta_s = rsd_ops.redshift_space_density(
                 delta_ln, vel_z, grid, Hz, sigma_nl=config.sigma_nl,
@@ -284,10 +315,12 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                                      (grid.N,), dtype)
             else:
                 kf1, kf2 = jax.random.split(k_fg)
-                white2d = (jax.random.normal(kf1, (grid.N, grid.N), dtype)
-                           + 1j * jax.random.normal(kf2, (grid.N, grid.N),
-                                                    dtype))
-                alpha_w = jax.random.normal(k_alpha, (grid.N, grid.N), dtype)
+                white2d = (
+                    jax.random.normal(kf1, (grid.N, grid.N), ddt).astype(dtype)
+                    + 1j * jax.random.normal(kf2, (grid.N, grid.N),
+                                             ddt).astype(dtype))
+                alpha_w = jax.random.normal(
+                    k_alpha, (grid.N, grid.N), ddt).astype(dtype)
             fg_map = ForegroundModel.foreground_amp_from_whitenoise(
                 white2d, grid, cosmology.chi, config.fg_amp, config.fg_beta,
                 config.fg_monopole, fg_sigma_pix,
@@ -304,6 +337,10 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             if rows_mode:
                 data = data + row_normal(key, TAGS["noise"], 0, grid.N,
                                          (grid.N, grid.N), dtype) \
+                    * sigma_j[None, None, :]
+            elif config.threefry_noise:
+                data = data + jax.random.normal(
+                    k_noise, grid.shape, ddt).astype(dtype) \
                     * sigma_j[None, None, :]
             else:
                 data = rsd_ops.add_scaled_normal(data, sigma_j, k_noise)

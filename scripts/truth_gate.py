@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Truth-anchored accuracy gate for the end-to-end pipeline.
+
+Problem (CLAUDE.md): every perf knob (mm-precision HIGH, fft_pair,
+pallas-DFT, ...) has so far been judged by bit-drift against the
+INCUMBENT f32 path, not against truth.  Because the PCA-cleaned P(k)
+low bins are a small residual of a large foreground subtraction, a
+knob that moves them 5e-2 relative might be (a) genuinely wrong or
+(b) exactly as close to the true answer as the incumbent — the bins
+may simply be conditioning-limited in f32.
+
+This gate settles it with a per-bin f64 ORACLE on the same realisation:
+``PipelineConfig(draw_dtype='float32', threefry_noise=True)`` makes the
+f64 pipeline consume the exact f32 threefry stream (jax.random draws
+are dtype-dependent, so this is the only way an f64 run is the same
+realisation), and forces the sigma_nl/noise draws off the TPU-only
+Pallas PRNG so CPU and TPU see identical noise.
+
+Usage (two phases, two processes — the TPU is single-process-exclusive):
+
+  # Phase A: f64 truth + f32 conditioning floor, on CPU
+  JAX_PLATFORMS=cpu python scripts/truth_gate.py truth \
+      --nsamp 128 --keys 4 --out truth_gate_128.npz
+
+  # Phase B: knob variants on the real TPU (run from the repo root,
+  # NO PYTHONPATH)
+  python scripts/truth_gate.py check --truth truth_gate_128.npz
+
+Phase B prints one line per variant with the max relative deviation of
+the cleaned P(k) from the f64 truth, alongside the CPU-f32 floor.  A
+knob whose deviation is comparable to the floor is conditioning-limited
+(admissible); one far above it is genuinely less accurate.
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup_jax(cpu: bool):
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/jax_fastbox"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_fastbox"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def _build(jax, nsamp, box, redshift):
+    import fastbox_tpu
+
+    fastbox_tpu.ensure_platform()
+    from fastbox_tpu.cosmology import build_cosmology
+    from fastbox_tpu.grid import GridSpec
+
+    grid = GridSpec.create(box_scale=(box,) * 3, nsamp=nsamp,
+                           redshift=redshift)
+    cosmology = build_cosmology(
+        dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
+        redshift=redshift,
+    )
+    return grid, cosmology
+
+
+def _run(jax, grid, cosmology, config, keys):
+    import numpy as np
+
+    from fastbox_tpu.pipeline import make_pipeline
+
+    fn = make_pipeline(grid, cosmology, config)
+    pk_c, pk_d, sig = [], [], []
+    kcent = None
+    for seed in keys:
+        out = fn(jax.random.PRNGKey(seed))
+        kcent = np.asarray(out["k"], np.float64)
+        pk_c.append(np.asarray(out["pk_cleaned"], np.float64))
+        pk_d.append(np.asarray(out["pk_density"], np.float64))
+        sig.append(float(out["sigma_data"]))
+    return kcent, np.stack(pk_c), np.stack(pk_d), np.asarray(sig)
+
+
+def _gate_config(dtype, **kw):
+    from fastbox_tpu.pipeline import PipelineConfig
+
+    return PipelineConfig(dtype=dtype, draw_dtype="float32",
+                          threefry_noise=True, **kw)
+
+
+def _rel(a, t):
+    """Per-element |a-t|/t with empty (NaN) bins masked out."""
+    import numpy as np
+
+    good = np.isfinite(t) & (np.abs(t) > 0)
+    r = np.zeros_like(t)
+    r[good] = np.abs(a[good] - t[good]) / np.abs(t[good])
+    return r
+
+
+def cmd_truth(args):
+    jax = _setup_jax(cpu=True)
+    import numpy as np
+
+    grid, cosmology = _build(jax, args.nsamp, args.box, args.redshift)
+    keys = list(range(args.key0, args.key0 + args.keys))
+
+    print(f"[truth] f64 oracle with injected f32 draws, "
+          f"{args.nsamp}^3, {len(keys)} keys ...", flush=True)
+    k, t_c, t_d, t_s = _run(jax, grid, cosmology,
+                            _gate_config("float64"), keys)
+    print("[truth] f32 compute on the SAME stream (conditioning floor) ...",
+          flush=True)
+    _, f_c, f_d, f_s = _run(jax, grid, cosmology,
+                            _gate_config("float32"), keys)
+    floor = np.max(_rel(f_c, t_c), axis=0)
+    print(f"[truth] cleaned-P(k) f32 floor per bin: "
+          f"max={floor.max():.3e}  low5={floor[:5].max():.3e}", flush=True)
+    np.savez(args.out, k=k, pk_cleaned=t_c, pk_density=t_d, sigma=t_s,
+             f32_pk_cleaned=f_c, f32_pk_density=f_d, f32_sigma=f_s,
+             keys=np.asarray(keys),
+             meta=np.asarray([args.nsamp, args.box, args.redshift]))
+    print(f"[truth] wrote {args.out}", flush=True)
+
+
+def cmd_check(args):
+    jax = _setup_jax(cpu=args.cpu)
+    import numpy as np
+
+    d = np.load(args.truth)
+    nsamp, box, redshift = d["meta"]
+    keys = [int(s) for s in d["keys"]]
+    t_c, t_d = d["pk_cleaned"], d["pk_density"]
+    floor = float(np.max(_rel(d["f32_pk_cleaned"], t_c)))
+    floor_low = float(np.max(_rel(d["f32_pk_cleaned"], t_c)[:, :5]))
+
+    grid, cosmology = _build(jax, int(nsamp), float(box), float(redshift))
+    from fastbox_tpu.ops import fft_safe, mmfft
+
+    # Variant table: (PipelineConfig kwargs, PREFER_MM, module precision,
+    # PALLAS_DFT).  PREFER_MM=True routes the 3D transforms through the
+    # matmul DFTs even where the native FFT is probed-OK (128^3), so the
+    # gate exercises the same FFT path production uses at 256^3+.
+    variants = {
+        "native_highest": (dict(), False, None, False),
+        "mm_highest": (dict(), True, None, False),
+        "mm3d_high": (dict(mm3d_precision="HIGH"), True, None, False),
+        "all_high": (dict(), True, "HIGH", False),
+        "fft_pair": (dict(fft_pair=True), True, None, False),
+        "pca_subspace": (dict(pca_exact=False), True, None, False),
+        "pallas_dft": (dict(), True, None, True),
+    }
+    if args.variants:
+        names = args.variants.split(",")
+        variants = {n: variants[n] for n in names}
+
+    results = {}
+    for name, (kw, prefer_mm, prec, pallas_dft) in variants.items():
+        fft_safe.PREFER_MM = prefer_mm
+        mmfft.PALLAS_DFT = pallas_dft
+        if prec is not None:
+            mmfft.set_precision(prec)
+        jax.clear_caches()
+        try:
+            _, c, dd, s = _run(jax, grid, cosmology,
+                               _gate_config("float32", **kw), keys)
+        except Exception as e:  # keep scanning the other variants
+            print(f"[check] {name:16s} FAILED: {e}", flush=True)
+            results[name] = {"error": str(e)}
+            continue
+        finally:
+            if prec is not None:
+                mmfft.set_precision(
+                    os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"))
+            fft_safe.PREFER_MM = False
+            mmfft.PALLAS_DFT = False
+        rel = _rel(c, t_c)
+        rel_d = _rel(dd, t_d)
+        # Signed mean across keys per low bin: distinguishes a systematic
+        # bias (bad for science even if small) from zero-mean rounding
+        # scatter (averages down over realisations).
+        signed_low = np.mean((c - t_c) / np.abs(t_c), axis=0)[:5]
+        results[name] = {
+            "pk_cleaned_max": float(rel.max()),
+            "pk_cleaned_low5": float(rel[:, :5].max()),
+            "pk_density_max": float(rel_d.max()),
+            "signed_mean_low5": [float(v) for v in signed_low],
+        }
+        print(f"[check] {name:16s} cleaned max={rel.max():.3e} "
+              f"low5={rel[:, :5].max():.3e} density={rel_d.max():.3e}",
+              flush=True)
+
+    summary = {"floor": float(floor), "floor_low5": float(floor_low),
+               "nsamp": int(nsamp), "keys": keys, "variants": results}
+    print(json.dumps(summary))
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[check] wrote {args.out}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    t = sub.add_parser("truth")
+    t.add_argument("--nsamp", type=int, default=128)
+    t.add_argument("--box", type=float, default=2e3)
+    t.add_argument("--redshift", type=float, default=0.8)
+    t.add_argument("--keys", type=int, default=4)
+    t.add_argument("--key0", type=int, default=1000)
+    t.add_argument("--out", default="truth_gate_128.npz")
+    t.set_defaults(fn=cmd_truth)
+    c = sub.add_parser("check")
+    c.add_argument("--truth", default="truth_gate_128.npz")
+    c.add_argument("--variants", default=None,
+                   help="comma list; default all")
+    c.add_argument("--cpu", action="store_true",
+                   help="run the check phase on CPU (debug)")
+    c.add_argument("--out", default="TRUTH_GATE.json")
+    c.set_defaults(fn=cmd_check)
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
