@@ -110,6 +110,12 @@ def main():
                     help="fuse the (delta_x, vel_z) inverse pair into one "
                          "complex MXU inverse; truth-gated admissible at "
                          "7.9e-3 (TRUTH_GATE.json)")
+    ap.add_argument("--pallas-draw", default=None,
+                    choices=["auto", "on", "off"],
+                    help="density-draw backend (PipelineConfig.pallas_draw); "
+                         "default auto = fused on-core PRNG draw on TPU "
+                         "(different stream than threefry; statistics "
+                         "validated by scripts/check_pallas_draw_stats.py)")
     ap.add_argument("--chain", type=int, default=8,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
@@ -137,6 +143,8 @@ def main():
                                      mm3d_precision=args.mm3d_precision)
     if args.fft_pair:
         config = dataclasses.replace(config, fft_pair=True)
+    if args.pallas_draw is not None:
+        config = dataclasses.replace(config, pallas_draw=args.pallas_draw)
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
@@ -188,6 +196,7 @@ def main():
         "batch": args.batch,
         "mm_precision": os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"),
         "mm3d_precision": config.mm3d_precision,
+        "pallas_draw": config.pallas_draw,
     }))
 
 

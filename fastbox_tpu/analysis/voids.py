@@ -162,21 +162,25 @@ def _marker_watershed(f, mask, markers):
         adj.setdefault(i, []).append((j, h))
         adj.setdefault(j, []).append((i, h))
 
-    # Minimax flood from the marked basins
-    pq = [(-np.inf, int(b)) for b in range(1, nlab) if basin_label[b]]
+    # Minimax flood from the marked basins.  Dijkstra-style: a basin's
+    # label becomes final when it is POPPED (at its minimal water level),
+    # not when an edge first touches it — assigning at relaxation time
+    # would let a high-saddle flood claim a basin that a lower flood
+    # reaches later in queue order, inverting the flooding order.
+    pq = [(-np.inf, int(b), int(basin_label[b]))
+          for b in range(1, nlab) if basin_label[b]]
     heapq.heapify(pq)
-    reached = {b: -np.inf for _, b in pq}
+    done = np.zeros(nlab, dtype=bool)
     while pq:
-        h, b = heapq.heappop(pq)
-        if h > reached.get(b, np.inf):
+        h, b, lbl = heapq.heappop(pq)
+        if done[b]:
             continue
+        done[b] = True
+        if basin_label[b] == 0:
+            basin_label[b] = lbl
         for nb, sh in adj.get(b, []):
-            nh = max(h, sh)
-            if basin_label[nb] == 0 or nh < reached.get(nb, np.inf):
-                if basin_label[nb] == 0:
-                    basin_label[nb] = basin_label[b]
-                    reached[nb] = nh
-                    heapq.heappush(pq, (nh, nb))
+            if not done[nb] and basin_label[nb] == 0:
+                heapq.heappush(pq, (max(h, sh), nb, basin_label[b]))
 
     return basin_label[basins]
 

@@ -56,18 +56,64 @@ def hermitian_half_noise(key, grid: GridSpec, dtype=jnp.float32):
             + 1j * jax.random.normal(kim, (N, N, H), dtype)) \
         * jnp.asarray(np.sqrt(0.5), dtype)
 
-    def herm_plane(k):
-        k1, k2 = jax.random.split(k)
-        w = (jax.random.normal(k1, (N, N), dtype)
-             + 1j * jax.random.normal(k2, (N, N), dtype))
-        rev = w
-        for axis in (0, 1):
-            rev = jnp.roll(jnp.flip(rev, axis), 1, axis)
-        return 0.5 * (w + jnp.conj(rev))
-
-    half = half.at[:, :, 0].set(herm_plane(k_p0))
+    half = half.at[:, :, 0].set(_herm_plane(k_p0, N, dtype))
     if N % 2 == 0:
-        half = half.at[:, :, H - 1].set(herm_plane(k_pn))
+        half = half.at[:, :, H - 1].set(_herm_plane(k_pn, N, dtype))
+    return half
+
+
+def _herm_plane(key, N, dtype):
+    """(N, N) complex plane with internal 2D Hermitian pairing — the kz=0
+    / kz=N/2 structure of a real cube's half-spectrum (see
+    hermitian_half_noise)."""
+    k1, k2 = jax.random.split(key)
+    w = (jax.random.normal(k1, (N, N), dtype)
+         + 1j * jax.random.normal(k2, (N, N), dtype))
+    rev = w
+    for axis in (0, 1):
+        rev = jnp.roll(jnp.flip(rev, axis), 1, axis)
+    return 0.5 * (w + jnp.conj(rev))
+
+
+def colored_half_noise(key, grid: GridSpec, amp_half, dtype=jnp.float32,
+                       interpret: bool = False):
+    """``hermitian_half_noise(...) * amp_half`` fused in one VMEM pass.
+
+    The colored density half-spectrum ``delta_k`` drawn by the on-core
+    Pallas PRNG (ops/pallas/half_draw.py): exact N(0,1) statistics, but a
+    DIFFERENT stream than the threefry draw — same-key realisations do
+    not match ``hermitian_half_noise``.  The kz=0 (and even-N Nyquist)
+    planes keep their threefry Hermitian-paired draw: their internal
+    conjugate pairing is non-local in the pixel plane, and at O(N^2)
+    they are ~1/N of the draw cost.
+
+    Falls back to the threefry path off-TPU (unless ``interpret``).
+    """
+    N = grid.N
+    H = N // 2 + 1
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - backend init failure
+        platform = "cpu"
+    lane_ok = (N * H) % 128 == 0
+    if not ((platform in ("tpu", "axon") and lane_ok) or interpret):
+        return hermitian_half_noise(key, grid, dtype) * amp_half
+
+    from ..ops.pallas.half_draw import colored_complex_normal_pallas
+
+    k_int, k_p0, k_pn = jax.random.split(key, 3)
+    seed = jax.random.bits(k_int, (), "uint32").astype(jnp.int32)
+    re, im = colored_complex_normal_pallas(
+        amp_half.reshape(N, N * H), seed, interpret=interpret)
+    half = jax.lax.complex(re, im).reshape(N, N, H)
+    # Plane fix-up: _herm_plane's pair-sum halves the variance of its 2x
+    # draw (matching hermitian_half_noise's planes); the interior kernel
+    # values carry amp*sqrt(0.5) per part.
+    half = half.at[:, :, 0].set(_herm_plane(k_p0, N, dtype)
+                                * amp_half[:, :, 0])
+    if N % 2 == 0:
+        half = half.at[:, :, H - 1].set(_herm_plane(k_pn, N, dtype)
+                                        * amp_half[:, :, H - 1])
     return half
 
 

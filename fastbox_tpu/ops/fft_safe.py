@@ -182,16 +182,16 @@ def ifftn(x, axes=None):
     return mmfft.ifftn(x, axes)
 
 
-def fft(x, axis=-1):
+def fft(x, axis=-1, precision=None):
     if _is_cpu():
         return jnp.fft.fft(x, axis=axis)
-    return mmfft.fft(x, axis)
+    return mmfft.fft(x, axis, precision=precision)
 
 
-def ifft(x, axis=-1):
+def ifft(x, axis=-1, precision=None):
     if _is_cpu():
         return jnp.fft.ifft(x, axis=axis)
-    return mmfft.ifft(x, axis)
+    return mmfft.ifft(x, axis, precision=precision)
 
 
 def fft2(x, axes=(-2, -1)):
@@ -205,16 +205,16 @@ def ifft2(x, axes=(-2, -1)):
 # ---------------------------------------------------------------------
 # 1D / 2D real transforms — natively unrunnable off CPU
 # ---------------------------------------------------------------------
-def rfft(x, axis=-1):
+def rfft(x, axis=-1, precision=None):
     if _is_cpu():
         return jnp.fft.rfft(x, axis=axis)
-    return mmfft.rfft(x, axis)
+    return mmfft.rfft(x, axis, precision=precision)
 
 
-def irfft(a, n, axis=-1):
+def irfft(a, n, axis=-1, precision=None):
     if _is_cpu():
         return jnp.fft.irfft(a, n=n, axis=axis)
-    return mmfft.irfft(a, int(n), axis)
+    return mmfft.irfft(a, int(n), axis, precision=precision)
 
 
 def _pad_to(x, s, axes):

@@ -283,16 +283,17 @@ def ifftn(x, axes=None):
     return x
 
 
-def rfft(x, axis: int = -1):
+def rfft(x, axis: int = -1, precision=None):
     """R2C forward along ``axis``: full C2C, sliced to n//2+1 modes."""
     n = x.shape[axis]
-    y = fft(x.astype(jnp.result_type(x.dtype, jnp.complex64)), axis)
+    y = fft(x.astype(jnp.result_type(x.dtype, jnp.complex64)), axis,
+            precision=precision)
     sl = [slice(None)] * y.ndim
     sl[axis] = slice(0, n // 2 + 1)
     return y[tuple(sl)]
 
 
-def irfft(x, n: int, axis: int = -1):
+def irfft(x, n: int, axis: int = -1, precision=None):
     """C2R inverse along ``axis`` from the half spectrum (length n//2+1)."""
     x = jnp.moveaxis(x, axis, -1)
     h = x.shape[-1]
@@ -300,7 +301,7 @@ def irfft(x, n: int, axis: int = -1):
     # Hermitian mirror: X[n-k] = conj(X[k]) for k = 1..n-h
     tail = jnp.conj(x[..., 1:n - h + 1][..., ::-1])
     full = jnp.concatenate([x, tail], axis=-1)
-    y = _dft_last(full, n, +1) * (1.0 / n)
+    y = _dft_last(full, n, +1, precision) * (1.0 / n)
     return jnp.moveaxis(jnp.real(y), -1, axis)
 
 
@@ -432,19 +433,23 @@ def _hermitian_full(h, n_last: int):
     return jnp.concatenate([h, m], axis=-1)
 
 
-def irfftn_pair(a_half, b_half, s):
+def irfftn_pair(a_half, b_half, s, precision=None):
     """Two C2R inverse 3D transforms for the price of one C2C transform.
 
     ``a_half``/``b_half`` are Hermitian half-spectra (shape
     (..., N, N, N//2+1), the layout of ``jnp.fft.rfftn`` output); returns
     the two real cubes ``(irfftn(a), irfftn(b))``, computed as the
     real/imag parts of one complex inverse transform of ``a + i b``.
+
+    ``precision`` overrides the einsum precision for THIS pair (None
+    inherits the module default), matching rfftn3/irfftn3 semantics so
+    PipelineConfig.mm3d_precision governs the fused path too.
     """
     N0, N1, N2 = s
     assert a_half.shape[-1] == N2 // 2 + 1
     assert b_half.shape[-1] == N2 // 2 + 1
     c = _hermitian_full(a_half, N2) + 1j * _hermitian_full(b_half, N2)
-    c = ifft(c, -3)
-    c = ifft(c, -2)
-    c = ifft(c, -1)
+    c = ifft(c, -3, precision=precision)
+    c = ifft(c, -2, precision=precision)
+    c = ifft(c, -1, precision=precision)
     return jnp.real(c), jnp.imag(c)

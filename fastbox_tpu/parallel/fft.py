@@ -40,7 +40,7 @@ def pifft3_local(x, axis_name: str):
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
-def prfft3_local(x, axis_name: str):
+def prfft3_local(x, axis_name: str, precision=None):
     """Real-input forward 3D FFT of a batched row-slab.
 
     (B, N/P, N, N) real -> (B, N/P, N, N//2+1) complex half-spectrum over
@@ -48,25 +48,31 @@ def prfft3_local(x, axis_name: str):
     all-to-all transposes move half the bytes of the full-spectrum
     ``pfft3_local`` — the rfft treatment the single-chip pipeline already
     uses, extended to the slab decomposition.
+
+    ``precision`` threads to the matmul-DFT stages on TPU (None inherits
+    the mmfft module default) so ``PipelineConfig.mm3d_precision`` governs
+    the big 3D transforms of the sharded step exactly as it does the
+    single-chip pipeline's.
     """
-    x = fft_safe.rfft(x, axis=3)
-    x = fft_safe.fft(x, axis=2)
+    x = fft_safe.rfft(x, axis=3, precision=precision)
+    x = fft_safe.fft(x, axis=2, precision=precision)
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = fft_safe.fft(x, axis=1)
+    x = fft_safe.fft(x, axis=1, precision=precision)
     return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
 
-def pirfft3_local(x, n: int, axis_name: str):
+def pirfft3_local(x, n: int, axis_name: str, precision=None):
     """Inverse of :func:`prfft3_local`.
 
     (B, N/P, N, N//2+1) complex -> (B, N/P, N, n) real, with ``n`` the full
     z-axis length (required because N//2+1 is ambiguous in parity).
+    ``precision`` as in :func:`prfft3_local`.
     """
     x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = fft_safe.ifft(x, axis=1)
+    x = fft_safe.ifft(x, axis=1, precision=precision)
     x = lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    x = fft_safe.ifft(x, axis=2)
-    return fft_safe.irfft(x, n=n, axis=3)
+    x = fft_safe.ifft(x, axis=2, precision=precision)
+    return fft_safe.irfft(x, n=n, axis=3, precision=precision)
 
 
 def pfft2_local(x, axis_name: str):

@@ -161,11 +161,13 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         # statistics to the reference's complex draw + .real projection
         # (box.py:174-193).
         white = draw(TAGS["density"], (N, N))         # (B, Np, N, N) real
-        white_h = prfft3_local(white, "space") \
+        white_h = prfft3_local(white, "space",
+                               precision=config.mm3d_precision) \
             * dtype.type(N ** -1.5)                    # unit-variance Hermitian
         amp = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_loc)) * dtype.type(boxfactor))
         delta_k = white_h * amp[None]                  # (B, Np, N, H)
-        delta_x = pirfft3_local(delta_k, N, "space").astype(dtype)
+        delta_x = pirfft3_local(delta_k, N, "space",
+                                precision=config.mm3d_precision).astype(dtype)
 
         # --- (2) bias + lognormal (global mean over the cube) --------
         e = jnp.exp(delta_x * dtype.type(bias))
@@ -176,7 +178,8 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         inv_k2 = jnp.where(k2_loc > 0, 1.0 / jnp.where(k2_loc > 0, k2_loc, 1.0), 0.0)
         vz_k = (1j * dtype.type(vel_fac)) * delta_k * (kzh[None, None, :] * inv_k2)
         vz_k = jnp.where(jnp.asarray(nyq_z)[None, None, None, :], 0.0, vz_k)
-        vel_z = pirfft3_local(vz_k, N, "space").astype(dtype)
+        vel_z = pirfft3_local(vz_k, N, "space",
+                              precision=config.mm3d_precision).astype(dtype)
 
         # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
         vel = vel_z
@@ -264,7 +267,7 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         # --- (8) binned P(k): cleaned cube + underlying density ------
         # Half-spectrum reduction with kz multiplicity weights: exactly the
         # full-grid mean/stddev convention of box.py:696-768.
-        ck = prfft3_local(cleaned, "space")
+        ck = prfft3_local(cleaned, "space", precision=config.mm3d_precision)
         p_clean = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
         p_dens = (delta_k * jnp.conj(delta_k)).real / dtype.type(boxfactor)
         idx = jnp.searchsorted(jnp.asarray(kbins, dtype), kmag_loc.ravel(),

@@ -127,6 +127,20 @@ class PipelineConfig:
     # 256^3, scripts/check_binned_pk_accuracy.py) and skips the
     # precomputed searchsorted pass by digitizing |k| in-kernel.
     pallas_pk: str = "auto"
+    # Density-draw backend for step (1): 'off' keeps the platform-
+    # deterministic threefry+erfinv half-spectrum draw; 'auto'/'on' fuse
+    # the draw AND the sqrt(P) colour multiply into the on-core Pallas
+    # PRNG kernel (ops/pallas/half_draw.py — one VMEM pass instead of
+    # three HBM round trips).  TPU-only either way: pltpu.prng_* has no
+    # CPU interpreter, so off-TPU the threefry path always runs.  The
+    # kernel stream is exact N(0,1) but DIFFERENT from threefry:
+    # same-key realisations change, statistics do not (validated on
+    # hardware by scripts/tpu_kernel_checks.py and the ensemble-
+    # statistics gate in scripts/check_pallas_draw_stats.py).  Ignored
+    # when threefry_noise=True or draw_dtype is set (the truth-gate
+    # configuration) or noise_scheme='rows' (mesh-independent
+    # realisations need the row-keyed threefry draw).
+    pallas_draw: str = "auto"
 
 
 def _hi_bias(z):
@@ -228,6 +242,17 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
     rows_mode = config.noise_scheme == "rows"
 
+    if config.pallas_draw not in ("auto", "on", "off"):
+        raise ValueError(f"Unknown pallas_draw '{config.pallas_draw}'")
+    # TPU-only in every mode: pltpu.prng_* has no CPU interpreter support
+    # (tests/test_pallas_noise.py), so off-TPU the threefry path always
+    # runs regardless of the knob.
+    use_pallas_draw = (
+        not rows_mode and not config.threefry_noise
+        and config.draw_dtype is None
+        and config.pallas_draw in ("auto", "on")
+        and jax.default_backend() == "tpu")
+
     ddt = jnp.dtype(config.draw_dtype) if config.draw_dtype else dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
@@ -246,11 +271,17 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             white_h = fft_safe.rfftn(
                 white, precision=config.mm3d_precision
             ) * dtype.type(grid.N ** -1.5)
+            delta_k = white_h * amp_half
+        elif use_pallas_draw:
+            # Fused draw + colour multiply in VMEM (different stream than
+            # threefry — see PipelineConfig.pallas_draw)
+            delta_k = gaussian.colored_half_noise(
+                k_dens, grid, amp_half, dtype)
         else:
             white_h = gaussian.hermitian_half_noise(k_dens, grid, ddt)
             if ddt != dtype:
                 white_h = white_h.astype(cdtype)
-        delta_k = white_h * amp_half
+            delta_k = white_h * amp_half
 
         # (3, hoisted) LOS velocity spectrum from the Gaussian field
         # (z component only); k-weights built on the fly (XLA fuses the
@@ -265,7 +296,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         if config.fft_pair:
             from .ops import mmfft
 
-            delta_x, vel_z = mmfft.irfftn_pair(delta_k, vz_k, s=grid.shape)
+            delta_x, vel_z = mmfft.irfftn_pair(
+                delta_k, vz_k, s=grid.shape,
+                precision=config.mm3d_precision)
             delta_x = delta_x.astype(dtype)
             vel_z = vel_z.astype(dtype)
         else:
@@ -366,8 +399,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             data = fft_safe.irfft(dkz * T[None, None, :], n=grid.N,
                                   axis=2).astype(dtype)
 
-        # (8) PCA clean (subspace iteration by default: the TPU's small
-        # eigh is slow and only the top-mode span matters)
+        # (8) PCA clean: exact eigh by default; block-power subspace
+        # iteration is the opt-in perf knob (pca_exact=False — approximate
+        # when trailing modes are degenerate, see PipelineConfig)
         if config.pca_exact:
             cleaned = pca_filter(data, config.pca_nmodes)
         else:

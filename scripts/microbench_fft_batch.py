@@ -69,13 +69,18 @@ def timeit(name, f, *args, n=3):
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (N, N, N), jnp.float32)
+    # Independent keys for every draw: re/im parts of each weight field
+    # come from DISTINCT subkeys so the complex inputs are full-rank
+    # generic, not degenerate (round-1 advisor finding).
+    kx, k1r, k1i, k2r, k2i = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(kx, (N, N, N), jnp.float32)
     kz = jnp.asarray(np.fft.rfftfreq(N).astype(np.float32))
-    w1 = jnp.exp(-kz**2)[None, None, :].astype(jnp.complex64) \
-        * jnp.ones((N, N, H), jnp.complex64)
-    w2 = (1j * kz)[None, None, :].astype(jnp.complex64) \
-        * jnp.ones((N, N, H), jnp.complex64)
+    w1 = (jax.random.normal(k1r, (N, N, H), jnp.float32)
+          + 1j * jax.random.normal(k1i, (N, N, H), jnp.float32)) \
+        * jnp.exp(-kz**2)[None, None, :]
+    w2 = (jax.random.normal(k2r, (N, N, H), jnp.float32)
+          + 1j * jax.random.normal(k2i, (N, N, H), jnp.float32)) \
+        * (1j * kz)[None, None, :]
 
     t_sep = timeit("separate irfftn pair", chain(pair_separate), x, w1, w2)
     t_bat = timeit("batched irfftn pair", chain(pair_batched), x, w1, w2)

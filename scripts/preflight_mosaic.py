@@ -67,6 +67,13 @@ def main():
                 x, jnp.ones((C,), jnp.float32), jnp.int32(7),
                 return_max=True), vals)
 
+        from fastbox_tpu.ops.pallas.half_draw import (
+            colored_complex_normal_pallas)
+
+        amp2d = jnp.ones((N, N * H), jnp.float32)
+        pre(f"colored half draw N={N}",
+            lambda a: colored_complex_normal_pallas(a, jnp.int32(5)), amp2d)
+
         kx2 = jnp.zeros((N,), jnp.float32)
         kz2 = jnp.zeros((H,), jnp.float32)
         wz = jnp.ones((H,), jnp.float32)

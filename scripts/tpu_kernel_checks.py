@@ -69,6 +69,54 @@ def main():
           abs(float(m) - float(jnp.max(jnp.abs(y)))) == 0.0,
           f"m={float(m):.4f}")
 
+    # --- colored half-spectrum draw kernel (ops/pallas/half_draw.py) ---
+    from fastbox_tpu.ops.pallas.half_draw import colored_complex_normal_pallas
+
+    R2, C2 = 256, 256
+    ampv = np.linspace(0.5, 3.0, C2).astype(np.float32)
+    amp = jnp.broadcast_to(jnp.asarray(ampv)[None, :], (R2, C2))
+    re, im = colored_complex_normal_pallas(jnp.asarray(amp), 99)
+    re, im = np.asarray(re), np.asarray(im)
+    # each part carries variance amp^2/2 -> |z|^2 has mean amp^2
+    p = re ** 2 + im ** 2
+    ratio = p.mean(axis=0) / ampv ** 2
+    check("colored draw per-mode power", np.all(np.abs(ratio - 1.0) < 0.4),
+          f"maxdev={np.max(np.abs(ratio - 1.0)):.3f}")
+    zre = re / (ampv[None, :] / np.sqrt(2.0))
+    zim = im / (ampv[None, :] / np.sqrt(2.0))
+    check("colored draw unit parts",
+          abs(zre.std() - 1.0) < 0.01 and abs(zim.std() - 1.0) < 0.01,
+          f"std=({zre.std():.4f},{zim.std():.4f})")
+    corr_ri = np.corrcoef(zre.ravel(), zim.ravel())[0, 1]
+    check("colored draw re/im independence",
+          abs(corr_ri) < 5.0 / np.sqrt(zre.size), f"corr={corr_ri:.4f}")
+    re2, im2 = colored_complex_normal_pallas(jnp.asarray(amp), 99)
+    re3, _ = colored_complex_normal_pallas(jnp.asarray(amp), 100)
+    check("colored draw deterministic per seed",
+          np.array_equal(re, np.asarray(re2))
+          and np.array_equal(im, np.asarray(im2)))
+    check("colored draw seed sensitivity",
+          not np.array_equal(re, np.asarray(re3)))
+
+    # end-to-end half-spectrum statistics through colored_half_noise:
+    # the irfftn of the colored draw must reproduce the target P(k) std
+    from fastbox_tpu.fields.gaussian import colored_half_noise
+    from fastbox_tpu.grid import GridSpec
+
+    grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=128, redshift=0.0)
+    ones = jnp.ones((128, 128, 65), jnp.float32)
+    half = colored_half_noise(jax.random.PRNGKey(3), grid, ones, jnp.float32)
+    hv = np.asarray(half)
+    # kz=0 plane must be exactly 2D-Hermitian (conjugate at -i, -j)
+    pl0 = hv[:, :, 0]
+    rev = np.roll(np.flip(np.roll(np.flip(pl0, 0), 1, 0), 1), 1, 1)
+    check("colored draw kz=0 plane Hermitian",
+          np.allclose(pl0, np.conj(rev), atol=1e-6))
+    # interior modes: unit expected power
+    pint = np.abs(hv[:, :, 1:-1]) ** 2
+    check("colored draw interior unit power",
+          abs(pint.mean() - 1.0) < 0.01, f"mean={pint.mean():.4f}")
+
     if FAIL:
         print("KERNEL CHECKS FAILED:", FAIL, flush=True)
         sys.exit(1)

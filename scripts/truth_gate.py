@@ -148,14 +148,27 @@ def cmd_check(args):
     # PALLAS_DFT).  PREFER_MM=True routes the 3D transforms through the
     # matmul DFTs even where the native FFT is probed-OK (128^3), so the
     # gate exercises the same FFT path production uses at 256^3+.
+    #
+    # Every variant that is meant to be a HIGHEST-3D baseline pins
+    # mm3d_precision='HIGHEST' EXPLICITLY: PipelineConfig's default is now
+    # 'HIGH' (pipeline.py), so empty kwargs would silently measure the HIGH
+    # path and make the committed gate numbers irreproducible (advisor
+    # round-2 finding #1).
     variants = {
-        "native_highest": (dict(), False, None, False),
-        "mm_highest": (dict(), True, None, False),
+        "native_highest": (dict(mm3d_precision="HIGHEST"), False, None, False),
+        "mm_highest": (dict(mm3d_precision="HIGHEST"), True, None, False),
         "mm3d_high": (dict(mm3d_precision="HIGH"), True, None, False),
-        "all_high": (dict(), True, "HIGH", False),
-        "fft_pair": (dict(fft_pair=True), True, None, False),
-        "pca_subspace": (dict(pca_exact=False), True, None, False),
-        "pallas_dft": (dict(), True, None, True),
+        "all_high": (dict(mm3d_precision="HIGH"), True, "HIGH", False),
+        "fft_pair": (dict(fft_pair=True, mm3d_precision="HIGHEST"),
+                     True, None, False),
+        # The shipping bench combination: HIGH big-3D transforms with the
+        # fused complex-pair inverse (bench.py --fft-pair; advisor
+        # round-2 finding #2 — this combination was never gated as such).
+        "fft_pair_high": (dict(fft_pair=True, mm3d_precision="HIGH"),
+                          True, None, False),
+        "pca_subspace": (dict(pca_exact=False, mm3d_precision="HIGHEST"),
+                         True, None, False),
+        "pallas_dft": (dict(mm3d_precision="HIGHEST"), True, None, True),
     }
     if args.variants:
         names = args.variants.split(",")
@@ -171,9 +184,18 @@ def cmd_check(args):
         try:
             _, c, dd, s = _run(jax, grid, cosmology,
                                _gate_config("float32", **kw), keys)
-        except Exception as e:  # keep scanning the other variants
+        except Exception as e:
+            # A failed op POISONS the TPU client (CLAUDE.md): every later
+            # variant would report the same stale error as a misleading
+            # FAILED line.  Abort the scan on a device-side failure; only
+            # keep scanning on CPU (where clients survive op failures).
             print(f"[check] {name:16s} FAILED: {e}", flush=True)
             results[name] = {"error": str(e)}
+            if jax.default_backend() != "cpu":
+                print("[check] aborting scan: the TPU client may be "
+                      "poisoned — rerun remaining variants with "
+                      "--variants in a fresh process", flush=True)
+                break
             continue
         finally:
             if prec is not None:
@@ -185,8 +207,13 @@ def cmd_check(args):
         rel_d = _rel(dd, t_d)
         # Signed mean across keys per low bin: distinguishes a systematic
         # bias (bad for science even if small) from zero-mean rounding
-        # scatter (averages down over realisations).
-        signed_low = np.mean((c - t_c) / np.abs(t_c), axis=0)[:5]
+        # scatter (averages down over realisations).  Empty/zero truth
+        # bins are masked with the same criterion as _rel — an unmasked
+        # 0/0 would emit non-JSON NaN tokens into the output file.
+        good = np.isfinite(t_c) & (np.abs(t_c) > 0)
+        signed = np.where(good, (c - t_c) / np.where(good, np.abs(t_c), 1.0),
+                          0.0)
+        signed_low = np.mean(signed, axis=0)[:5]
         results[name] = {
             "pk_cleaned_max": float(rel.max()),
             "pk_cleaned_low5": float(rel[:, :5].max()),
