@@ -116,6 +116,15 @@ def main():
                          "default auto = fused on-core PRNG draw on TPU "
                          "(different stream than threefry; statistics "
                          "validated by scripts/check_pallas_draw_stats.py)")
+    ap.add_argument("--vel-precision", default=None,
+                    help="einsum precision for the velocity inverse "
+                         "transform only (DEFAULT/HIGH/HIGHEST); default "
+                         "inherits --mm3d-precision; see truth-gate "
+                         "variant 'vel_default'")
+    ap.add_argument("--pca", default=None, choices=["exact", "subspace"],
+                    help="PCA clean backend: exact eigh (default) or the "
+                         "oversampled subspace + Rayleigh-Ritz iteration "
+                         "(PipelineConfig.pca_exact=False)")
     ap.add_argument("--chain", type=int, default=8,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
@@ -145,6 +154,12 @@ def main():
         config = dataclasses.replace(config, fft_pair=True)
     if args.pallas_draw is not None:
         config = dataclasses.replace(config, pallas_draw=args.pallas_draw)
+    if args.pca is not None:
+        config = dataclasses.replace(config,
+                                     pca_exact=args.pca == "exact")
+    if args.vel_precision is not None:
+        config = dataclasses.replace(config,
+                                     vel_precision=args.vel_precision)
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
@@ -197,6 +212,8 @@ def main():
         "mm_precision": os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"),
         "mm3d_precision": config.mm3d_precision,
         "pallas_draw": config.pallas_draw,
+        "pca": "exact" if config.pca_exact else "subspace",
+        "vel_precision": config.vel_precision,
     }))
 
 

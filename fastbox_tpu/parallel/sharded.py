@@ -50,18 +50,14 @@ from .rng import TAGS, row_normal
 __all__ = ["make_sharded_ensemble_step"]
 
 
-def _subspace_from_cov(cov, nmodes: int, iters: int = 16):
-    """Top-``nmodes`` subspace of a covariance by block power iteration
-    (same algorithm as filters.pca.pca_filter_subspace, operating on the
-    already-reduced covariance)."""
-    Q, _ = jnp.linalg.qr(cov[:, :nmodes])
+def _subspace_from_cov(cov, nmodes: int):
+    """Top-``nmodes`` eigenvectors of the psum-reduced covariance — the
+    same oversampled subspace + Rayleigh-Ritz algorithm (and defaults) as
+    filters.pca.pca_filter_subspace, so the sharded ``pca_exact=False``
+    path matches the single-chip one exactly."""
+    from ..filters.pca import topk_eigvecs_subspace
 
-    def body(_, Q):
-        Qn, _ = jnp.linalg.qr(
-            jnp.matmul(cov, Q, precision=jax.lax.Precision.HIGHEST))
-        return Qn
-
-    return jax.lax.fori_loop(0, iters, body, Q)
+    return topk_eigvecs_subspace(cov, nmodes)
 
 
 def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,

@@ -106,6 +106,15 @@ class PipelineConfig:
     # conditioning floor of 2.9e-3 (scripts/truth_gate.py, 2026-08-19) —
     # so HIGH is the default for the ~2x cheaper big transforms.
     mm3d_precision: str | None = "HIGH"
+    # Separate einsum precision for the velocity-field inverse transform
+    # ONLY (None inherits mm3d_precision).  The velocity cube enters the
+    # pipeline solely as an RSD displacement (~a few cells), so a
+    # per-transform rounding error epsilon perturbs voxel positions by
+    # epsilon * |v|/H — second-order in the remapped density — unlike the
+    # delta_x inverse, whose error is first-order in the field itself.
+    # "DEFAULT" (single-pass bf16) here is truth-gated at the bench size
+    # before shipping (scripts/truth_gate.py variant 'vel_default').
+    vel_precision: str | None = None
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
     # f32 vs f64, so an f64 run is normally a different REALISATION and can
@@ -127,20 +136,25 @@ class PipelineConfig:
     # 256^3, scripts/check_binned_pk_accuracy.py) and skips the
     # precomputed searchsorted pass by digitizing |k| in-kernel.
     pallas_pk: str = "auto"
-    # Density-draw backend for step (1): 'off' keeps the platform-
-    # deterministic threefry+erfinv half-spectrum draw; 'auto'/'on' fuse
-    # the draw AND the sqrt(P) colour multiply into the on-core Pallas
-    # PRNG kernel (ops/pallas/half_draw.py — one VMEM pass instead of
-    # three HBM round trips).  TPU-only either way: pltpu.prng_* has no
-    # CPU interpreter, so off-TPU the threefry path always runs.  The
-    # kernel stream is exact N(0,1) but DIFFERENT from threefry:
-    # same-key realisations change, statistics do not (validated on
-    # hardware by scripts/tpu_kernel_checks.py and the ensemble-
-    # statistics gate in scripts/check_pallas_draw_stats.py).  Ignored
-    # when threefry_noise=True or draw_dtype is set (the truth-gate
-    # configuration) or noise_scheme='rows' (mesh-independent
-    # realisations need the row-keyed threefry draw).
-    pallas_draw: str = "auto"
+    # Density-draw backend for step (1): 'off' (default) keeps the
+    # platform-deterministic threefry+erfinv half-spectrum draw;
+    # 'auto'/'on' fuse the draw AND the sqrt(P) colour multiply into the
+    # on-core Pallas PRNG kernel (ops/pallas/half_draw.py).  TPU-only
+    # either way: pltpu.prng_* has no CPU interpreter.  Statistics are
+    # exact (hardware-validated: scripts/tpu_kernel_checks.py, ensemble
+    # gate scripts/check_pallas_draw_stats.py PASS) but the stream
+    # differs from threefry, and IN COMPOSITION the kernel LOSES:
+    # 256^3 bench 90.6 vs 93.3 pipelines/s (campaign round3a,
+    # 2026-08-19) — the Hermitian-plane .at[].set fix-ups and the
+    # kernel's fusion boundary (XLA can fuse erfinv+colour+velocity
+    # weighting into one pass; a pallas_call cannot) cost more than the
+    # 1.8 ms isolated draw saves.  Same composition-loss pattern as
+    # FASTBOX_PALLAS_DFT (ops/mmfft.py).  Kept as an opt-in for larger
+    # boxes/future backends.  Ignored when threefry_noise=True or
+    # draw_dtype is set (the truth-gate configuration) or
+    # noise_scheme='rows' (mesh-independent realisations need the
+    # row-keyed threefry draw).
+    pallas_draw: str = "off"
 
 
 def _hi_bias(z):
@@ -307,7 +321,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                 precision=config.mm3d_precision).astype(dtype)
             vel_z = fft_safe.irfftn(
                 vz_k, s=grid.shape,
-                precision=config.mm3d_precision).astype(dtype)
+                precision=(config.vel_precision
+                           if config.vel_precision is not None
+                           else config.mm3d_precision)).astype(dtype)
 
         # (2) bias + log-normal
         delta_ln = transforms.lognormal(delta_x * bias)

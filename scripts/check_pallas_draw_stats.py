@@ -51,11 +51,16 @@ def run(grid, cosmology, config, keys):
 
 
 def ztest(a, b, axis=0):
-    """Two-sample z statistic per bin (unequal variance)."""
+    """Two-sample z statistic per bin (unequal variance).
+
+    Empty P(k) bins are NaN in every sample (the estimator's convention);
+    they carry no information and are masked to z=0.
+    """
     K = a.shape[axis]
     se = np.sqrt(a.var(axis=axis, ddof=1) / K + b.var(axis=axis, ddof=1) / K)
     se = np.where(se > 0, se, np.inf)
-    return (a.mean(axis=axis) - b.mean(axis=axis)) / se
+    z = (a.mean(axis=axis) - b.mean(axis=axis)) / se
+    return np.where(np.isfinite(z), z, 0.0)
 
 
 def main():
@@ -87,10 +92,12 @@ def main():
         if a.ndim == 1:
             a, b = a[:, None], b[:, None]
         z = ztest(a, b)
+        ma, mb = a.mean(0), b.mean(0)
+        good = np.isfinite(ma) & np.isfinite(mb) & (mb != 0)
+        ratio_dev = np.where(good, ma / np.where(good, mb, 1.0) - 1.0, 0.0)
         stats[name] = {
             "max_abs_z": float(np.max(np.abs(z))),
-            "mean_ratio_dev": float(np.max(np.abs(
-                a.mean(0) / np.where(b.mean(0) != 0, b.mean(0), 1.0) - 1.0))),
+            "mean_ratio_dev": float(np.max(np.abs(ratio_dev))),
         }
         worst = max(worst, stats[name]["max_abs_z"])
         print(f"[draw-gate] {name:12s} max|z|={stats[name]['max_abs_z']:.2f} "

@@ -1,0 +1,456 @@
+#!/usr/bin/env python
+"""Build EXECUTED example notebooks (outputs + figures embedded).
+
+The reference ships executed analysis notebooks
+(/root/reference/examples/End-to-end_simulation.ipynb,
+Fisher_forecast_crosscorrelation.ipynb) whose cell outputs double as its
+only recorded perf baseline.  This script reproduces that artifact class
+natively: each notebook is declared as (markdown, code) cells, the code
+cells are executed in-process (stdout + matplotlib figures captured),
+and a complete nbformat-4 JSON is written — no jupyter/nbconvert needed
+(neither is installed here).
+
+Run ON THE TPU from the repo root (no PYTHONPATH):
+
+    python scripts/make_notebooks.py --out examples/notebooks
+
+Plot conventions: Okabe & Ito (2008) colourblind-safe categorical palette
+in fixed assignment order; cividis (perceptually uniform, CVD-safe) for
+field slices; one axis per panel; legends for multi-series panels.
+"""
+import argparse
+import base64
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Fixed categorical assignment (Okabe-Ito): signal, data, PCA, ICA, NMF
+PALETTE = ["#0072B2", "#E69F00", "#009E73", "#CC79A7", "#56B4E9"]
+
+
+def _lines(src):
+    out = src.strip("\n").splitlines(keepends=True)
+    if out and not out[-1].endswith("\n"):
+        out[-1] += "\n"
+    return [ln for ln in out]
+
+
+def run_notebook(cells, out_path, ns_extra=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ns = {"PALETTE": PALETTE}
+    if ns_extra:
+        ns.update(ns_extra)
+    nb_cells = []
+    ecount = 0
+    for kind, src in cells:
+        src = src.strip("\n")
+        if kind == "md":
+            nb_cells.append({"cell_type": "markdown", "metadata": {},
+                             "source": _lines(src)})
+            continue
+        ecount += 1
+        buf = io.StringIO()
+        t0 = time.time()
+        with contextlib.redirect_stdout(buf):
+            exec(compile(src, f"<cell {ecount}>", "exec"), ns)
+        dt = time.time() - t0
+        outputs = []
+        text = buf.getvalue()
+        if text:
+            outputs.append({"output_type": "stream", "name": "stdout",
+                            "text": _lines(text)})
+        for num in plt.get_fignums():
+            fig = plt.figure(num)
+            b = io.BytesIO()
+            fig.savefig(b, format="png", dpi=85, bbox_inches="tight")
+            outputs.append({
+                "output_type": "display_data",
+                "data": {"image/png":
+                         base64.b64encode(b.getvalue()).decode("ascii")},
+                "metadata": {},
+            })
+        plt.close("all")
+        nb_cells.append({"cell_type": "code", "execution_count": ecount,
+                         "metadata": {"execute_seconds": round(dt, 2)},
+                         "source": _lines(src), "outputs": outputs})
+        print(f"  cell {ecount}: {dt:6.1f}s", flush=True)
+    nb = {
+        "cells": nb_cells,
+        "metadata": {
+            "kernelspec": {"display_name": "Python 3",
+                           "language": "python", "name": "python3"},
+            "language_info": {"name": "python"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+    with open(out_path, "w") as f:
+        json.dump(nb, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+
+
+# ---------------------------------------------------------------------
+# Notebook 1: end-to-end 21cm simulation + foreground cleaning
+# (mirrors /root/reference/examples/End-to-end_simulation.ipynb)
+# ---------------------------------------------------------------------
+END_TO_END = [
+    ("md", """
+# Example end-to-end analysis (TPU-native)
+
+This notebook performs the same end-to-end simulation as the reference
+FastBox notebook (`examples/End-to-end_simulation.ipynb`): generate a
+log-normal HI field on a (2 Gpc)$^3$, $128^3$ grid at $z = 0.8$,
+transform it to redshift space, scale to brightness temperature, add
+Galactic synchrotron foregrounds and radiometer noise, clean with
+PCA/ICA/NMF, and measure power spectra and correlation functions.
+
+Everything here runs on ONE TPU chip through `fastbox_tpu`; the stage
+timings printed by each cell are directly comparable to the reference's
+recorded cell outputs (`(1) Generating box complete (4.245 sec)` etc. on
+an unknown CPU).
+"""),
+    ("code", """
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_fastbox"))
+
+import fastbox_tpu
+fastbox_tpu.ensure_platform()
+import fastbox_tpu.filters as filters
+from fastbox_tpu import CosmoBox, default_cosmo
+from fastbox_tpu.models import ForegroundModel, HITracer, NoiseModel
+from fastbox_tpu.ops import correlation_function
+
+print("backend:", jax.devices()[0].platform, jax.devices()[0])
+plt.rcParams["figure.figsize"] = (12, 5)
+COL = dict(zip(["signal", "data", "pca", "ica", "nmf"], PALETTE))
+"""),
+    ("md", """
+## Generate simulation box
+
+Gaussian realisation with the non-linear power spectrum, HI bias,
+log-normal transform, linear velocity field, and the redshift-space remap
+with a $\\sigma_{NL} = 120$ km/s dispersion — the reference's steps
+(box.py:130-460), fused into jitted device programs.
+"""),
+    ("code", """
+t0 = time.time()
+box = CosmoBox(cosmo=default_cosmo, box_scale=(2e3, 2e3, 2e3), nsamp=128,
+               redshift=0.8, realise_now=False, seed=41)
+box.realise_density()
+tracer = HITracer(box)
+delta_ln = box.lognormal(box.delta_x * tracer.bias_HI())
+vel_k = box.realise_velocity(delta_x=box.delta_x)
+vel_z = jnp.fft.ifftn(vel_k[2]).real
+delta_s = box.redshift_space_density(delta_x=delta_ln, velocity_z=vel_z,
+                                     sigma_nl=120.0)
+signal_cube = tracer.signal_amplitude() * (1.0 + delta_s)
+signal_cube.block_until_ready(); _ = np.asarray(signal_cube[:1, :1, :4])
+print("(1) Generating box complete (%3.3f sec)" % (time.time() - t0))
+print("Tb = %.4f mK, b_HI = %.4f" % (tracer.signal_amplitude(),
+                                     tracer.bias_HI()))
+"""),
+    ("code", """
+fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+im0 = axes[0].imshow(np.asarray(delta_ln)[10], vmin=-1, vmax=5,
+                     cmap="cividis", aspect="auto")
+axes[0].set_title("log-normal density (slice x=10)")
+axes[0].set_xlabel("z"); axes[0].set_ylabel("y")
+fig.colorbar(im0, ax=axes[0], label=r"$\\delta_{LN}$")
+im1 = axes[1].imshow(np.asarray(delta_s)[10], vmin=-1, vmax=5,
+                     cmap="cividis", aspect="auto")
+axes[1].set_title("redshift-space density (slice x=10)")
+axes[1].set_xlabel("z (LOS)"); axes[1].set_ylabel("y")
+fig.colorbar(im1, ax=axes[1], label=r"$\\delta_s$")
+fig.tight_layout()
+"""),
+    ("md", """
+## Add foregrounds
+
+Gaussian random realisation of Galactic synchrotron with the Santos,
+Cooray & Knox (2005) parameters: a smoothed amplitude map at the
+reference frequency and a spatially varying spectral index
+(foregrounds.py:34-174).
+"""),
+    ("code", """
+t0 = time.time()
+freqs = box.freq_array()
+print("Frequency range: %3.1f -- %3.1f MHz" % (freqs[-1], freqs[0]))
+fg = ForegroundModel(box)
+fg_map = fg.realise_foreground_amp(amp=57.0, beta=1.1, monopole=10.0,
+                                   smoothing_scale=4.0)
+alpha = fg.realise_spectral_index(mean_spec_idx=2.07, std_spec_idx=2e-4,
+                                  smoothing_scale=15.0)
+fg_cube = fg.construct_cube(fg_map, alpha, freq_ref=130.0)
+fg_cube.block_until_ready(); _ = np.asarray(fg_cube[:1, :1, :4])
+print("(2) Generating foregrounds complete (%3.3f sec)" % (time.time() - t0))
+"""),
+    ("code", """
+fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+im0 = axes[0].imshow(np.asarray(fg_map), cmap="cividis", aspect="auto")
+axes[0].set_title("synchrotron amplitude at 130 MHz")
+axes[0].set_xlabel("y"); axes[0].set_ylabel("x")
+fig.colorbar(im0, ax=axes[0], label="T [mK]")
+im1 = axes[1].imshow(np.asarray(fg_cube)[10], cmap="cividis", aspect="auto")
+axes[1].set_title("foreground cube (slice x=10)")
+axes[1].set_xlabel("z (frequency)"); axes[1].set_ylabel("y")
+fig.colorbar(im1, ax=axes[1], label="T [mK]")
+fig.tight_layout()
+"""),
+    ("md", """
+## Add radiometer noise
+
+Homogeneous white noise for a MeerKAT-like 64-dish deep integration
+(2 h per pointing, 1 deg$^2$ FOV, $T_{inst}$ = 18 K) — noise.py:34-90.
+"""),
+    ("code", """
+t0 = time.time()
+noise_cube = NoiseModel(box).realise_radiometer_noise(Tinst=18.0, tp=2.0,
+                                                      fov=1.0, Ndish=64)
+noise_cube.block_until_ready(); _ = np.asarray(noise_cube[:1, :1, :4])
+print("(3) Generating noise complete (%3.3f sec)" % (time.time() - t0))
+data_cube = signal_cube + fg_cube + noise_cube
+print("sigma(data) = %.3f mK" % float(jnp.std(data_cube)))
+"""),
+    ("md", """
+## Apply foreground cleaning
+
+PCA, ICA, and NMF cleans with 4 modes each (filters.py:93-432 natively:
+device GEMM + eigh, FastICA fixed-point, NNDSVDa + multiplicative
+updates).
+"""),
+    ("code", """
+t0 = time.time()
+cleaned_pca = filters.pca_filter(data_cube, nmodes=4)
+cleaned_pca.block_until_ready(); _ = np.asarray(cleaned_pca[:1, :1, :4])
+print("(4a) PCA filtering complete (%3.3f sec)" % (time.time() - t0))
+t0 = time.time()
+cleaned_ica = filters.ica_filter(data_cube, nmodes=4)
+cleaned_ica.block_until_ready(); _ = np.asarray(cleaned_ica[:1, :1, :4])
+print("(4b) ICA filtering complete (%3.3f sec)" % (time.time() - t0))
+t0 = time.time()
+cleaned_nmf = filters.nmf_filter(data_cube, nmodes=4)
+cleaned_nmf.block_until_ready(); _ = np.asarray(cleaned_nmf[:1, :1, :4])
+print("(4c) NMF filtering complete (%3.3f sec)" % (time.time() - t0))
+"""),
+    ("code", """
+fig, axes = plt.subplots(2, 2, figsize=(12, 9))
+panels = [("true signal", signal_cube, COL["signal"]),
+          ("PCA cleaned", cleaned_pca, COL["pca"]),
+          ("ICA cleaned", cleaned_ica, COL["ica"]),
+          ("NMF cleaned", cleaned_nmf, COL["nmf"])]
+for ax, (name, cube, _c) in zip(axes.ravel(), panels):
+    im = ax.imshow(np.asarray(cube)[10], cmap="cividis", vmin=-0.2,
+                   vmax=1.5, aspect="auto")
+    ax.set_title(name); ax.set_xlabel("z"); ax.set_ylabel("y")
+    fig.colorbar(im, ax=ax, label="T [mK]")
+fig.tight_layout()
+"""),
+    ("md", """
+## Calculate power spectra
+
+Binned $P(k)$ of the signal, raw data, and each cleaned cube
+(box.py:696-768: single-pass device histogram on the rfft
+half-spectrum), against the theory curve.
+"""),
+    ("code", """
+t0 = time.time()
+spectra = {}
+for name, cube in [("signal", signal_cube), ("data", data_cube),
+                   ("pca", cleaned_pca), ("ica", cleaned_ica),
+                   ("nmf", cleaned_nmf)]:
+    kc, pk, stddev = box.binned_power_spectrum(delta_x=cube)
+    spectra[name] = np.asarray(pk)
+kc = np.asarray(kc); _ = spectra["nmf"]
+print("(5) Power spectra complete (%3.3f sec)" % (time.time() - t0))
+"""),
+    ("code", """
+th_k, th_pk = box.theoretical_power_spectrum()
+amp_fac = (tracer.signal_amplitude() * tracer.bias_HI()) ** 2
+fig, ax = plt.subplots(figsize=(10, 6))
+ax.plot(np.asarray(th_k), amp_fac * np.asarray(th_pk), color="#555555",
+        lw=1.5, ls="--", label="theory (no RSD)")
+labels = {"signal": "true signal", "data": "data (FG+noise)",
+          "pca": "PCA cleaned", "ica": "ICA cleaned", "nmf": "NMF cleaned"}
+for name in ["signal", "data", "pca", "ica", "nmf"]:
+    ok = np.isfinite(spectra[name])
+    ax.plot(kc[ok], spectra[name][ok], marker=".", lw=1.5,
+            color=COL[name], label=labels[name])
+ax.set_xscale("log"); ax.set_yscale("log")
+ax.set_xlabel(r"$k$ [Mpc$^{-1}$]")
+ax.set_ylabel(r"$P(k)$ [mK$^2$ Mpc$^3$]")
+ax.legend(frameon=False); ax.set_title("binned power spectra")
+fig.tight_layout()
+"""),
+    ("md", """
+## Calculate correlation function
+
+$\\xi(r)$ of the true signal and the PCA-cleaned cube (the reference
+uses nbodykit `FFTCorr`; here the estimator is a native device FFT
+reduction).
+"""),
+    ("code", """
+t0 = time.time()
+xi_sig = correlation_function(box.grid, signal_cube, dr=2.0, rmin=20.0,
+                              rmax=200.0)
+xi_pca = correlation_function(box.grid, cleaned_pca, dr=2.0, rmin=20.0,
+                              rmax=200.0)
+r = np.asarray(xi_sig["r"]); _ = np.asarray(xi_pca["corr"])
+print("(6) Correlation functions complete (%3.3f sec)" % (time.time() - t0))
+"""),
+    ("code", """
+fig, ax = plt.subplots(figsize=(10, 5))
+ax.plot(r, r**2 * np.asarray(xi_sig["corr"]), marker=".",
+        color=COL["signal"], label="true signal")
+ax.plot(r, r**2 * np.asarray(xi_pca["corr"]), marker=".",
+        color=COL["pca"], label="PCA cleaned")
+ax.axhline(0.0, color="#bbbbbb", lw=0.8)
+ax.set_xlabel(r"$r$ [Mpc]"); ax.set_ylabel(r"$r^2 \\xi(r)$")
+ax.legend(frameon=False); ax.set_title("correlation function")
+fig.tight_layout()
+"""),
+    ("md", """
+## Recap
+
+The stage timings above, measured on one TPU chip, correspond 1:1 to the
+reference notebook's recorded CPU cell outputs (box 4.245 s, foregrounds
+0.163 s, noise 0.095 s, PCA 0.150 s, ICA 0.906 s, NMF 1.862 s, spectra
+24.775 s, correlation functions 0.971 s).  The full-pipeline production
+path (`fastbox_tpu.pipeline`, everything in ONE jitted program with
+chained dispatch) is faster still: see `bench.py` and BASELINE.md.
+"""),
+]
+
+
+# ---------------------------------------------------------------------
+# Notebook 2: Fisher forecast for cross-spectrum bandpowers
+# (mirrors /root/reference/examples/Fisher_forecast_crosscorrelation.ipynb)
+# ---------------------------------------------------------------------
+FISHER = [
+    ("md", """
+# Fisher matrix for cross-spectrum bandpowers (TPU-native)
+
+Forecast for the bandpowers of the cross-spectrum between an intensity
+map (MeerKAT-like single-dish UHF survey) and an overlapping
+spectroscopic galaxy sample (LSST-like), mirroring the reference's
+`Fisher_forecast_crosscorrelation.ipynb` — with the native Limber
+$C_\\ell$ integrator replacing `ccl.angular_cl`.
+"""),
+    ("code", """
+import numpy as np
+import matplotlib.pyplot as plt
+import fastbox_tpu
+fastbox_tpu.ensure_platform()
+from fastbox_tpu.analysis import forecast
+from fastbox_tpu.cosmology import build_cosmology
+
+cosmo = build_cosmology(dict(Omega_c=0.27, Omega_b=0.045, h=0.67,
+                             n_s=0.96, sigma8=0.834), redshift=0.9)
+C_IM, C_GAL, C_CROSS = PALETTE[0], PALETTE[1], PALETTE[2]
+"""),
+    ("code", """
+# ell bins, spectro-z bin, survey numbers (reference cells 3-5)
+delta_ell = 4
+ells = np.arange(2, 501, delta_ell).astype(float)
+zmin, zmax = 0.8, 1.0
+ngal_per_z = 1e9          # LSST-like: galaxies per unit z per full sky
+fsky = 0.1
+
+inst = forecast.inst_meerkat_uhf
+print("MeerKAT UHF band: z = %3.2f -- %3.2f"
+      % (forecast.NU21CM / inst["nu_max"] - 1.0,
+         forecast.NU21CM / inst["nu_min"] - 1.0))
+"""),
+    ("md", "## Signal and noise angular power spectra"),
+    ("code", """
+tracer_gal = forecast.tracer_spectro(cosmo, zmin, zmax, kind="galaxy")
+tracer_im = forecast.tracer_spectro(cosmo, zmin, zmax, kind="im")
+
+Cell_gal = forecast.angular_cl(cosmo, tracer_gal, tracer_gal, ells)
+Cell_im = forecast.angular_cl(cosmo, tracer_im, tracer_im, ells)
+Cell_cross = forecast.angular_cl(cosmo, tracer_im, tracer_gal, ells)
+
+Nell_im = np.asarray(forecast.noise_im(cosmo, inst, ells, zmin,
+                                       zmax)).flatten()
+Ngal_per_ster = forecast.number_density_to_area_density(
+    cosmo, ngal_per_z, zmin, zmax)
+Nell_gal = np.ones_like(ells) / Ngal_per_ster
+print("shot noise (gal):  %.3e" % Nell_gal[0])
+print("IM noise at l=100: %.3e" % Nell_im[ells == 100][0])
+"""),
+    ("code", """
+fig, ax = plt.subplots(figsize=(10, 6))
+ax.plot(ells, Cell_gal, color=C_GAL, marker=".", ms=3,
+        label=r"$C_{\\ell,\\rm gal}$")
+ax.plot(ells, Cell_im, color=C_IM, marker=".", ms=3,
+        label=r"$C_{\\ell,\\rm IM}$")
+ax.plot(ells, np.abs(Cell_cross), color=C_CROSS, marker=".", ms=3,
+        label=r"$|C_{\\ell,\\times}|$")
+ax.plot(ells, Nell_gal, color=C_GAL, ls="--", label=r"$N_{\\ell,\\rm gal}$")
+ax.plot(ells, Nell_im, color=C_IM, ls="--", label=r"$N_{\\ell,\\rm IM}$")
+ax.set_xscale("log"); ax.set_yscale("log")
+ax.set_xlabel(r"$\\ell$"); ax.set_ylabel(r"$C_\\ell$")
+ax.legend(frameon=False, ncol=2)
+ax.set_title("signal and noise angular spectra, z = 0.8 - 1.0")
+fig.tight_layout()
+"""),
+    ("md", "## Fisher matrix and bandpower errors"),
+    ("code", """
+F_ell = forecast.fisher_bandpowers(ells, delta_ell=delta_ell, fsky=fsky,
+                                   Cell_gal=Cell_gal + Nell_gal,
+                                   Cell_im=Cell_im + Nell_im,
+                                   Cell_cross=Cell_cross)
+F_ell = np.asarray(F_ell)
+sigma_cross = np.sqrt(1.0 / np.diag(F_ell.reshape(ells.size, ells.size))
+                      if F_ell.ndim > 1 else 1.0 / F_ell)
+print("median bandpower SNR: %.2f"
+      % np.median(np.abs(Cell_cross) / sigma_cross))
+"""),
+    ("code", """
+ell_fac = ells * (ells + 1.0) / (2.0 * np.pi)
+fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+axes[0].errorbar(ells, ell_fac * Cell_cross, yerr=ell_fac * sigma_cross,
+                 marker=".", ms=3, lw=1, color=C_CROSS)
+axes[0].set_xlabel(r"$\\ell$")
+axes[0].set_ylabel(r"$\\ell(\\ell+1) C^\\times_\\ell / 2\\pi$")
+axes[0].set_title("cross-spectrum with Fisher errors")
+axes[1].plot(ells, np.abs(Cell_cross) / sigma_cross, marker=".", ms=3,
+             color=C_CROSS)
+axes[1].set_xlabel(r"$\\ell$"); axes[1].set_ylabel("SNR per bandpower")
+axes[1].set_title("bandpower signal-to-noise")
+fig.tight_layout()
+"""),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="examples/notebooks")
+    ap.add_argument("--only", default=None,
+                    help="comma list: end_to_end,fisher")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    todo = {"end_to_end": (END_TO_END, "End_to_end_simulation.ipynb"),
+            "fisher": (FISHER, "Fisher_forecast_crosscorrelation.ipynb")}
+    names = args.only.split(",") if args.only else list(todo)
+    for n in names:
+        cells, fname = todo[n]
+        print(f"== executing notebook '{n}' ==", flush=True)
+        run_notebook(cells, os.path.join(args.out, fname))
+
+
+if __name__ == "__main__":
+    main()

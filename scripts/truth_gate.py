@@ -168,6 +168,15 @@ def cmd_check(args):
                           True, None, False),
         "pca_subspace": (dict(pca_exact=False, mm3d_precision="HIGHEST"),
                          True, None, False),
+        # Velocity-inverse-only precision drop on top of the shipping
+        # HIGH default: the vel cube only enters as an RSD displacement
+        # (second-order in the density), so bf16 may be admissible where
+        # all-DEFAULT is not.
+        "vel_default": (dict(mm3d_precision="HIGH",
+                             vel_precision="DEFAULT"), True, None, False),
+        "vel_high_all_highest": (dict(mm3d_precision="HIGHEST",
+                                      vel_precision="HIGH"),
+                                 True, None, False),
         "pallas_dft": (dict(mm3d_precision="HIGHEST"), True, None, True),
     }
     if args.variants:
