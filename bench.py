@@ -125,10 +125,11 @@ def main():
                     help="PCA clean backend: exact eigh (default) or the "
                          "oversampled subspace + Rayleigh-Ritz iteration "
                          "(PipelineConfig.pca_exact=False)")
-    ap.add_argument("--chain", type=int, default=8,
+    ap.add_argument("--chain", type=int, default=16,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
-                         "program per realisation)")
+                         "program per realisation; 8 -> 16 measured "
+                         "96.3 -> 100.3 pipelines/s at 256^3)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--init-timeout", type=float, default=900.0,
                     help="seconds before a hung backend init is reported "

@@ -70,6 +70,24 @@ def _axis_w_planes(d, B: int, dtype):
             for o in range(-B, B + 2)]
 
 
+def _floor_frac(d):
+    """Hoisted (floor, frac) pair for on-the-fly per-offset weights.
+
+    The y-axis weight plane is consumed exactly ONCE per outer-loop
+    iteration, so precomputing all (2B+2) planes (as the z axis does,
+    where each plane is reused (2B+2) times) only inflates the live set —
+    at B=3 those 8 extra resident planes pushed the kernel past the VMEM
+    budget and Mosaic spilled, the ~7x per-op cliff vs B=2 (CLAUDE.md).
+    Computing w(o) from the shared (fl, fr) costs two compares + two
+    multiplies per use."""
+    fl = jnp.floor(d)
+    return fl, d - fl
+
+
+def _w_from(fl, fr, o, dtype):
+    return (1.0 - fr) * (fl == dtype.type(o)) + fr * (fl == dtype.type(o - 1))
+
+
 def _rows(triple, s, bx):
     """Rows [s, s+bx) of the virtual (3bx, N, N) concatenation of three
     adjacent x-slab refs, touching at most two of them (s in [0, 2bx])."""
@@ -109,11 +127,11 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool):
             wx = _axis_w(sdx, dtype.type(ox))
             if weighted:
                 wx = wx * _rows(wtrip, s, bx)
-            wys = _axis_w_planes(sdy, B, dtype)
+            fly, fry = _floor_frac(sdy)
             wzs = _axis_w_planes(sdz, B, dtype)
             acc = None
-            for iy, oy in enumerate(range(-B, B + 2)):
-                wxy = wx * wys[iy]
+            for oy in range(-B, B + 2):
+                wxy = wx * _w_from(fly, fry, oy, dtype)
                 inner = None
                 for iz, oz in enumerate(range(-B, B + 2)):
                     t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
@@ -139,10 +157,10 @@ def _gather_kernel(m0, m1, m2, dx_r, dy_r, dz_r, out_ref, *, B: int, bx: int):
             ox = k - B
             Mx = _rows((m0, m1, m2), bx + ox, bx)
             wx = _axis_w(dx_r[:], dtype.type(ox))
-            wys = _axis_w_planes(dy_r[:], B, dtype)
+            fly, fry = _floor_frac(dy_r[:])
             wzs = _axis_w_planes(dz_r[:], B, dtype)
             acc = None
-            for iy, oy in enumerate(range(-B, B + 2)):
+            for oy in range(-B, B + 2):
                 # mesh value at (ly + oy) lands at particle row ly:
                 # roll by -oy
                 R = pltpu.roll(Mx, (-oy) % N1, 1)
@@ -150,7 +168,7 @@ def _gather_kernel(m0, m1, m2, dx_r, dy_r, dz_r, out_ref, *, B: int, bx: int):
                 for iz, oz in enumerate(range(-B, B + 2)):
                     t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
                     s = t if s is None else s + t
-                t = wx * wys[iy] * s
+                t = wx * _w_from(fly, fry, oy, dtype) * s
                 acc = t if acc is None else acc + t
             out_ref[:] += acc
 

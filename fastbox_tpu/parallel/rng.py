@@ -36,24 +36,81 @@ TAGS = {
 }
 
 
-def row_normal(key, tag: int, row0, nrows: int, row_shape, dtype):
+def _bm_normal(key, shape, dtype):
+    """Standard normals via Box-Muller on threefry uniforms.
+
+    Same determinism contract as ``jax.random.normal`` (pure function of
+    the key, platform-independent) but a DIFFERENT stream, and a much
+    lighter lowering: ``erf_inv`` evaluates a ~20-coefficient polynomial
+    whose constant broadcasts XLA:TPU materialises as full-shape HLO
+    temps — at 1024^3 slab shapes that alone exceeded per-chip HBM
+    (SCALING_1024_TPU.json round-3 finding: 31 GiB asked of 15.75 GiB,
+    dominated by ``erf_inv.*.remat2 = broadcast(constant)`` temps).
+    Box-Muller is two transcendentals with no coefficient tables.
+
+    Both halves of each (cos, sin) pair are used when the trailing axis
+    is even (it always is for grid rows); the odd case draws twice.
+    """
+    dtype = jnp.dtype(dtype)
+    k1, k2 = jax.random.split(key)
+    tiny = jnp.finfo(dtype).tiny
+    two_pi = dtype.type(2.0 * jnp.pi)
+    if shape and shape[-1] % 2 == 0:
+        half = shape[:-1] + (shape[-1] // 2,)
+        u1 = jax.random.uniform(k1, half, dtype, minval=tiny, maxval=1.0)
+        u2 = jax.random.uniform(k2, half, dtype)
+        r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
+        th = two_pi * u2
+        return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
+    u1 = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
+    u2 = jax.random.uniform(k2, shape, dtype)
+    return jnp.sqrt(dtype.type(-2.0) * jnp.log(u1)) * jnp.cos(two_pi * u2)
+
+
+def row_normal(key, tag: int, row0, nrows: int, row_shape, dtype,
+               method: str = "erfinv"):
     """Draw ``nrows`` standard-normal rows starting at global row ``row0``.
 
     Returns shape ``(nrows, *row_shape)``.  ``row0`` may be a traced value
     (e.g. ``axis_index * rows_per_shard`` inside shard_map).
+
+    ``method`` selects the bits->normal transform: ``"erfinv"`` (the
+    ``jax.random.normal`` stream, default) or ``"box_muller"`` (the
+    memory-lean stream — see :func:`_bm_normal`; required to fit 1024^3
+    slabs in v5e HBM).  Both are deterministic per (key, tag, row), so
+    mesh-shape independence holds for either; they are different
+    realisation streams.
     """
     base = jax.random.fold_in(key, tag)
+    if method == "box_muller":
+        draw = lambda k: _bm_normal(k, row_shape, dtype)  # noqa: E731
+    elif method == "erfinv":
+        draw = lambda k: jax.random.normal(k, row_shape, dtype)  # noqa: E731
+    else:
+        raise ValueError(f"Unknown row_normal method '{method}'")
 
     def one(i):
-        return jax.random.normal(jax.random.fold_in(base, i), row_shape,
-                                 dtype)
+        return draw(jax.random.fold_in(base, i))
 
     return jax.vmap(one)(row0 + jnp.arange(nrows))
 
 
 def row_complex_normal(key, re_tag: int, im_tag: int, row0, nrows: int,
-                       row_shape, dtype):
+                       row_shape, dtype, method: str = "erfinv"):
     """Complex rows ``re + i im`` with independent unit-normal parts."""
-    re = row_normal(key, re_tag, row0, nrows, row_shape, dtype)
-    im = row_normal(key, im_tag, row0, nrows, row_shape, dtype)
+    re = row_normal(key, re_tag, row0, nrows, row_shape, dtype, method)
+    im = row_normal(key, im_tag, row0, nrows, row_shape, dtype, method)
     return re + 1j * im
+
+
+def default_row_method(N: int) -> str:
+    """The rows-draw transform the pipeline ships at grid size ``N``.
+
+    erfinv (the jax.random.normal stream) up to 512^3 — unchanged
+    streams for every committed test/bench expectation — and Box-Muller
+    from 1024^3 up, where the erf_inv lowering's full-shape coefficient
+    broadcasts exceed per-chip HBM.  Realisations are N-dependent
+    anyway, so switching stream BY SIZE preserves the contract that a
+    (key, N) pair fully determines the field.
+    """
+    return "box_muller" if N >= 1024 else "erfinv"

@@ -45,7 +45,7 @@ from ..ops.rsd import remap_los_batched
 from ..ops.spectra import default_kbins
 from ..pipeline import PipelineConfig, _hi_bias, _hi_tb
 from .fft import pfft2_local, pifft2_local, pirfft3_local, prfft3_local
-from .rng import TAGS, row_normal
+from .rng import TAGS, default_row_method, row_normal
 
 __all__ = ["make_sharded_ensemble_step"]
 
@@ -139,9 +139,12 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         row0 = s * Np
         B_loc = keys_local.shape[0]
 
+        _method = default_row_method(N)
+
         def draw(tag, row_shape):
             return jax.vmap(
-                lambda k: row_normal(k, tag, row0, Np, row_shape, dtype)
+                lambda k: row_normal(k, tag, row0, Np, row_shape, dtype,
+                                     _method)
             )(keys_local)
 
         kx_loc = lax.dynamic_slice_in_dim(jnp.asarray(kx_full, dtype), row0, Np)

@@ -87,11 +87,13 @@ class PipelineConfig:
     noise_scheme: str = "half"
     # Fuse the (delta_x, vel_z) inverse transforms into ONE complex MXU
     # inverse (ops/mmfft.irfftn_pair: irfft(a + i b) -> (Re, Im)) instead
-    # of two native C2R dispatches.  A perf knob for the TPU FFT wall.
-    # Accuracy: identical statistics; f64 agrees with the default to 1e-9
-    # (tested), but in f32 the matmul-DFT precision propagates to a
-    # measured ~0.5% P(k) deviation (scripts/bench_matrix.py) — beyond
-    # the 1e-4 criterion, so it stays opt-in.
+    # of two native C2R dispatches.  Stays opt-in on BOTH axes: slower on
+    # TPU in composition (50 vs 65 pipelines/s at 256^3, campaign log —
+    # the full C2C costs more than the two half-spectrum C2Rs it fuses),
+    # and truth-gate REJECTED at the bench size (fft_pair_high 6.4e-2 vs
+    # the 1.29e-2 incumbent with a systematic +2% low-bin mean,
+    # TRUTH_GATE_256.json).  f64 agrees with the default to 1e-9
+    # (tested); useful off-TPU or at shapes where C2R dispatch dominates.
     fft_pair: bool = False
     # Matmul-DFT einsum precision for the three BIG 3D transforms only
     # (the delta_x / vel_z inverses and the cleaned-cube forward), which
@@ -112,9 +114,14 @@ class PipelineConfig:
     # per-transform rounding error epsilon perturbs voxel positions by
     # epsilon * |v|/H — second-order in the remapped density — unlike the
     # delta_x inverse, whose error is first-order in the field itself.
-    # "DEFAULT" (single-pass bf16) here is truth-gated at the bench size
-    # before shipping (scripts/truth_gate.py variant 'vel_default').
-    vel_precision: str | None = None
+    # "DEFAULT" (single-pass bf16) is truth-gated AT THE BENCH SIZE
+    # (TRUTH_GATE_256.json, 2026-08-19): cleaned-P(k) 1.45e-2 vs the f64
+    # oracle where the all-HIGHEST incumbent sits at 1.29e-2 and
+    # mm3d-HIGH at 1.28e-2 — the same accuracy class, with matching
+    # signed low-bin means (no new systematic).  Saves one of the two
+    # 6x/3x-pass bf16 inverse transforms; set None/HIGH/HIGHEST to opt
+    # back up.
+    vel_precision: str | None = "DEFAULT"
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
     # f32 vs f64, so an f64 run is normally a different REALISATION and can
@@ -271,7 +278,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     def fn_inner(key, amp_half, bin_idx):
-        from .parallel.rng import TAGS, row_complex_normal, row_normal
+        from .parallel.rng import (TAGS, default_row_method,
+                                   row_complex_normal, row_normal)
+        _rm = default_row_method(grid.N)
 
         (k_dens, k_rsd, k_fg, k_alpha, k_noise) = jax.random.split(key, 5)
 
@@ -281,7 +290,7 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # x-space (mesh-independent 'rows' scheme; costs one extra rfftn).
         if rows_mode:
             white = row_normal(key, TAGS["density"], 0, grid.N,
-                               (grid.N, grid.N), dtype)
+                               (grid.N, grid.N), dtype, _rm)
             white_h = fft_safe.rfftn(
                 white, precision=config.mm3d_precision
             ) * dtype.type(grid.N ** -1.5)
@@ -331,7 +340,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # (4) RSD remap
         if rows_mode and config.sigma_nl > 0.0:
             vel_z = vel_z + dtype.type(config.sigma_nl) * row_normal(
-                key, TAGS["sigma_nl"], 0, grid.N, (grid.N, grid.N), dtype)
+                key, TAGS["sigma_nl"], 0, grid.N, (grid.N, grid.N),
+                dtype, _rm)
             delta_s = rsd_ops.redshift_space_density(
                 delta_ln, vel_z, grid, Hz, sigma_nl=0.0,
                 method=config.rsd_method,
@@ -359,9 +369,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             if rows_mode:
                 white2d = row_complex_normal(
                     key, TAGS["fg_re"], TAGS["fg_im"], 0, grid.N,
-                    (grid.N,), dtype)
+                    (grid.N,), dtype, _rm)
                 alpha_w = row_normal(key, TAGS["alpha"], 0, grid.N,
-                                     (grid.N,), dtype)
+                                     (grid.N,), dtype, _rm)
             else:
                 kf1, kf2 = jax.random.split(k_fg)
                 white2d = (
@@ -385,7 +395,7 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         if config.include_noise:
             if rows_mode:
                 data = data + row_normal(key, TAGS["noise"], 0, grid.N,
-                                         (grid.N, grid.N), dtype) \
+                                         (grid.N, grid.N), dtype, _rm) \
                     * sigma_j[None, None, :]
             elif config.threefry_noise:
                 data = data + jax.random.normal(

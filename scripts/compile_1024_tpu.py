@@ -83,12 +83,17 @@ def main():
                                     PipelineConfig(dtype="float32"))
 
     B = args.ens
-    key_dtype = jax.random.split(jax.random.PRNGKey(0), 2).dtype
-    keys_sds = jax.ShapeDtypeStruct(
-        (B,), key_dtype, sharding=NamedSharding(mesh, P("ens")))
+    # Typed PRNG-key ShapeDtypeStructs fail to lower against abstract
+    # topology devices (key_data.ndim check) — lower on raw uint32 key
+    # data and wrap inside the program instead.
+    raw_sds = jax.ShapeDtypeStruct(
+        (B, 2), jnp.uint32, sharding=NamedSharding(mesh, P("ens", None)))
+
+    def entry(raw):
+        return fn(jax.vmap(jax.random.wrap_key_data)(raw))
 
     t0 = time.perf_counter()
-    lowered = fn.lower(keys_sds)
+    lowered = jax.jit(entry).lower(raw_sds)
     t_lower = time.perf_counter() - t0
     print(f"[aot] lowered in {t_lower:.1f}s; compiling for {name} ...",
           flush=True)

@@ -186,3 +186,41 @@ def test_sharded_rows_scheme_mesh_independent(cosmo_z08):
         outs.append(np.asarray(step(keys)["pk_cleaned"]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-8, atol=1e-12,
                                equal_nan=True)
+
+
+def test_row_normal_box_muller_stream():
+    """The memory-lean Box-Muller rows draw (the >=1024^3 default,
+    parallel/rng.py): exact-N(0,1) statistics, determinism, and the same
+    mesh-shape-independence contract as the erfinv stream (a slab's rows
+    depend only on (key, tag, global row index))."""
+    import jax.numpy as jnp
+
+    from fastbox_tpu.parallel.rng import row_normal
+
+    key = jax.random.PRNGKey(7)
+    full = np.asarray(row_normal(key, 1, 0, 8, (64, 64), jnp.float64,
+                                 "box_muller"))
+    lo = np.asarray(row_normal(key, 1, 0, 4, (64, 64), jnp.float64,
+                               "box_muller"))
+    hi = np.asarray(row_normal(key, 1, 4, 4, (64, 64), jnp.float64,
+                               "box_muller"))
+    np.testing.assert_array_equal(full, np.concatenate([lo, hi], axis=0))
+
+    n = full.size
+    assert abs(full.mean()) < 5.0 / np.sqrt(n)
+    assert abs(full.std() - 1.0) < 0.02
+    assert abs(np.mean(full**3)) < 0.05
+    assert abs(np.mean(full**4) - 3.0) < 0.2
+    # cos and sin halves of each pair must be independent
+    a, b = full[..., :32].ravel(), full[..., 32:].ravel()
+    assert abs(np.corrcoef(a, b)[0, 1]) < 5.0 / np.sqrt(a.size)
+    # different stream than erfinv, deterministic per key
+    erf = np.asarray(row_normal(key, 1, 0, 8, (64, 64), jnp.float64))
+    assert not np.allclose(full, erf)
+    again = np.asarray(row_normal(key, 1, 0, 8, (64, 64), jnp.float64,
+                                  "box_muller"))
+    np.testing.assert_array_equal(full, again)
+    # odd trailing axis exercises the no-pairing fallback
+    odd = np.asarray(row_normal(key, 1, 0, 4, (63,), jnp.float64,
+                                "box_muller"))
+    assert odd.shape == (4, 63) and np.isfinite(odd).all()
