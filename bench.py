@@ -121,6 +121,11 @@ def main():
                          "transform only (DEFAULT/HIGH/HIGHEST); default "
                          "inherits --mm3d-precision; see truth-gate "
                          "variant 'vel_default'")
+    ap.add_argument("--draw-method", default=None,
+                    choices=["erfinv", "box_muller"],
+                    help="bits->normal transform for the density draw "
+                         "(PipelineConfig.draw_method; box_muller is the "
+                         "lighter lowering but a different stream)")
     ap.add_argument("--pca", default=None, choices=["exact", "subspace"],
                     help="PCA clean backend: exact eigh (default) or the "
                          "oversampled subspace + Rayleigh-Ritz iteration "
@@ -161,6 +166,8 @@ def main():
     if args.vel_precision is not None:
         config = dataclasses.replace(config,
                                      vel_precision=args.vel_precision)
+    if args.draw_method is not None:
+        config = dataclasses.replace(config, draw_method=args.draw_method)
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
@@ -215,6 +222,7 @@ def main():
         "pallas_draw": config.pallas_draw,
         "pca": "exact" if config.pca_exact else "subspace",
         "vel_precision": config.vel_precision,
+        "draw_method": config.draw_method,
     }))
 
 

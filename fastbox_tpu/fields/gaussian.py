@@ -37,7 +37,34 @@ def _complex_dtype(real_dtype):
     return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
 
 
-def hermitian_half_noise(key, grid: GridSpec, dtype=jnp.float32):
+def _complex_normal(key, shape, dtype, method: str = "erfinv"):
+    """``re + i im`` with independent unit-normal parts.
+
+    ``method="erfinv"`` is two ``jax.random.normal`` draws (the stream
+    every committed oracle/test expectation uses).  ``method="box_muller"``
+    draws one uniform pair and emits BOTH Box-Muller outputs as (re, im)
+    — one log+sqrt+cos+sin for the pair instead of two ~20-term erf_inv
+    polynomials, and no full-shape coefficient-broadcast HLO temps (the
+    1024^3 HBM finding, parallel/rng.py).  A DIFFERENT, equally valid
+    realisation stream: gate any default flip on statistics + the truth
+    gate, never on per-voxel comparisons.
+    """
+    k1, k2 = jax.random.split(key)
+    if method == "box_muller":
+        tiny = jnp.finfo(dtype).tiny
+        u1 = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
+        u2 = jax.random.uniform(k2, shape, dtype)
+        r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
+        th = dtype.type(2.0 * np.pi) * u2
+        return jax.lax.complex(r * jnp.cos(th), r * jnp.sin(th))
+    if method != "erfinv":
+        raise ValueError(f"Unknown draw method '{method}'")
+    return jax.lax.complex(jax.random.normal(k1, shape, dtype),
+                           jax.random.normal(k2, shape, dtype))
+
+
+def hermitian_half_noise(key, grid: GridSpec, dtype=jnp.float32,
+                         method: str = "erfinv"):
     """Complex white noise drawn directly on the rfft half-spectrum, with
     the exact statistics of ``hermitian_symmetrize(white_noise(...))``.
 
@@ -46,29 +73,29 @@ def hermitian_half_noise(key, grid: GridSpec, dtype=jnp.float32):
     N) kz=N/2 planes are internally conjugate-paired, so they are realised
     as 2D Hermitian projections of unit-variance plane noise.  Memory and
     RNG cost are half the full-grid draw.
+
+    ``method`` selects the bits->normal transform (see
+    :func:`_complex_normal`); both are pure functions of ``key``.
     """
     N = grid.N
     H = N // 2 + 1
     k_int, k_p0, k_pn = jax.random.split(key, 3)
 
-    kre, kim = jax.random.split(k_int)
-    half = (jax.random.normal(kre, (N, N, H), dtype)
-            + 1j * jax.random.normal(kim, (N, N, H), dtype)) \
+    dtype = jnp.dtype(dtype)
+    half = _complex_normal(k_int, (N, N, H), dtype, method) \
         * jnp.asarray(np.sqrt(0.5), dtype)
 
-    half = half.at[:, :, 0].set(_herm_plane(k_p0, N, dtype))
+    half = half.at[:, :, 0].set(_herm_plane(k_p0, N, dtype, method))
     if N % 2 == 0:
-        half = half.at[:, :, H - 1].set(_herm_plane(k_pn, N, dtype))
+        half = half.at[:, :, H - 1].set(_herm_plane(k_pn, N, dtype, method))
     return half
 
 
-def _herm_plane(key, N, dtype):
+def _herm_plane(key, N, dtype, method: str = "erfinv"):
     """(N, N) complex plane with internal 2D Hermitian pairing — the kz=0
     / kz=N/2 structure of a real cube's half-spectrum (see
     hermitian_half_noise)."""
-    k1, k2 = jax.random.split(key)
-    w = (jax.random.normal(k1, (N, N), dtype)
-         + 1j * jax.random.normal(k2, (N, N), dtype))
+    w = _complex_normal(key, (N, N), jnp.dtype(dtype), method)
     rev = w
     for axis in (0, 1):
         rev = jnp.roll(jnp.flip(rev, axis), 1, axis)

@@ -177,8 +177,14 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         inv_k2 = jnp.where(k2_loc > 0, 1.0 / jnp.where(k2_loc > 0, k2_loc, 1.0), 0.0)
         vz_k = (1j * dtype.type(vel_fac)) * delta_k * (kzh[None, None, :] * inv_k2)
         vz_k = jnp.where(jnp.asarray(nyq_z)[None, None, None, :], 0.0, vz_k)
+        # Same precision-resolution rule as the single-chip pipeline
+        # (vel_precision falls back to mm3d_precision) so the 'rows'
+        # scheme stays bit-identical between the two paths on TPU.
         vel_z = pirfft3_local(vz_k, N, "space",
-                              precision=config.mm3d_precision).astype(dtype)
+                              precision=(config.vel_precision
+                                         if config.vel_precision is not None
+                                         else config.mm3d_precision)
+                              ).astype(dtype)
 
         # --- (4) RSD remap (fully local: LOS axis unsharded) ---------
         vel = vel_z

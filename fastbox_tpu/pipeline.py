@@ -162,6 +162,16 @@ class PipelineConfig:
     # noise_scheme='rows' (mesh-independent realisations need the
     # row-keyed threefry draw).
     pallas_draw: str = "off"
+    # Bits->normal transform for the threefry density half-spectrum draw
+    # (step 1, 'half' scheme only): 'erfinv' (jax.random.normal, the
+    # stream every committed oracle expectation uses) or 'box_muller'
+    # (one log+sqrt+cos+sin pair per COMPLEX mode instead of two erf_inv
+    # polynomial evaluations — a pure-XLA lightening that still fuses
+    # with the colour multiply, unlike pallas_draw).  A different,
+    # equally valid realisation stream; composes with draw_dtype (the
+    # uniforms are drawn in draw_dtype), so the truth gate can oracle it
+    # per-bin.  Candidate flip after TPU measurement + 256^3 gate.
+    draw_method: str = "erfinv"
 
 
 def _hi_bias(z):
@@ -301,7 +311,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             delta_k = gaussian.colored_half_noise(
                 k_dens, grid, amp_half, dtype)
         else:
-            white_h = gaussian.hermitian_half_noise(k_dens, grid, ddt)
+            white_h = gaussian.hermitian_half_noise(
+                k_dens, grid, ddt, method=config.draw_method)
             if ddt != dtype:
                 white_h = white_h.astype(cdtype)
             delta_k = white_h * amp_half

@@ -369,10 +369,10 @@ zmin, zmax = 0.8, 1.0
 ngal_per_z = 1e9          # LSST-like: galaxies per unit z per full sky
 fsky = 0.1
 
-inst = forecast.inst_meerkat_uhf
-print("MeerKAT UHF band: z = %3.2f -- %3.2f"
-      % (forecast.NU21CM / inst["nu_max"] - 1.0,
-         forecast.NU21CM / inst["nu_min"] - 1.0))
+inst = forecast.inst_meerkatuhf
+print("%s survey bin: z = %3.2f -- %3.2f  (nu = %.0f -- %.0f MHz)"
+      % (inst["name"], zmin, zmax,
+         forecast.NU21CM / (1.0 + zmax), forecast.NU21CM / (1.0 + zmin)))
 """),
     ("md", "## Signal and noise angular power spectra"),
     ("code", """

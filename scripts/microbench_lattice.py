@@ -34,7 +34,7 @@ N = int(os.environ.get("NSAMP", "256"))
 K = int(os.environ.get("K", "4"))
 
 key = jax.random.PRNGKey(0)
-disp = 1.5 * jax.random.normal(key, (3, N, N, N), jnp.float32)
+disp = 1.5 * jax.random.normal(key, (N, N, N, 3), jnp.float32)
 disp = jnp.clip(disp, -1.9, 1.9)
 
 

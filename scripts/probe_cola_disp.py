@@ -40,6 +40,12 @@ def main():
     p.add_argument("--redshift", type=float, default=0.0)
     p.add_argument("--redshift-init", type=float, default=15.0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--repeat", type=int, default=0,
+                   help="after the diagnostic run, re-run the evolution "
+                        "this many times (fresh seeds, no diagnostics) "
+                        "and report steady-state s/realisation with a "
+                        "forced host materialisation (the tunnel's "
+                        "block_until_ready returns early — CLAUDE.md)")
     args = p.parse_args()
 
     from fastbox_tpu.cosmology import build_cosmology
@@ -84,6 +90,25 @@ def main():
         print("k:", kc[sel])
         print("P/P_lin (large scales):", pk[sel] / pk_lin[sel])
     print(f"std(delta) = {float(np.std(np.asarray(delta))):.4f}")
+
+    if args.repeat > 0:
+        import jax.numpy as jnp
+
+        def one(seed):
+            d, _ = realise_density_cola(
+                jax.random.PRNGKey(seed), grid, cosmo,
+                redshift_init=args.redshift_init, keep_velocities=False,
+                lattice_B=None if args.no_lattice else args.lattice_B)
+            return jnp.std(d)
+
+        float(one(10_000))  # warm the no-diagnostics program
+        t0 = time.time()
+        for i in range(args.repeat):
+            s = one(10_001 + i)
+        _ = float(s)  # host materialisation forces completion
+        dt = (time.time() - t0) / args.repeat
+        print(f"# steady-state: {dt:.2f} s/realisation "
+              f"({args.repeat} repeats)", flush=True)
 
 
 if __name__ == "__main__":

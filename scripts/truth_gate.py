@@ -112,14 +112,20 @@ def cmd_truth(args):
     grid, cosmology = _build(jax, args.nsamp, args.box, args.redshift)
     keys = list(range(args.key0, args.key0 + args.keys))
 
+    # A non-default draw_method is a DIFFERENT realisation stream, so it
+    # needs its own truth file (the f64 oracle must consume the same f32
+    # uniforms the f32 variant does).
+    dm = dict(draw_method=args.draw_method) \
+        if args.draw_method != "erfinv" else {}
     print(f"[truth] f64 oracle with injected f32 draws, "
-          f"{args.nsamp}^3, {len(keys)} keys ...", flush=True)
+          f"{args.nsamp}^3, {len(keys)} keys, draw={args.draw_method} ...",
+          flush=True)
     k, t_c, t_d, t_s = _run(jax, grid, cosmology,
-                            _gate_config("float64"), keys)
+                            _gate_config("float64", **dm), keys)
     print("[truth] f32 compute on the SAME stream (conditioning floor) ...",
           flush=True)
     _, f_c, f_d, f_s = _run(jax, grid, cosmology,
-                            _gate_config("float32"), keys)
+                            _gate_config("float32", **dm), keys)
     floor = np.max(_rel(f_c, t_c), axis=0)
     print(f"[truth] cleaned-P(k) f32 floor per bin: "
           f"max={floor.max():.3e}  low5={floor[:5].max():.3e}", flush=True)
@@ -178,6 +184,12 @@ def cmd_check(args):
                                       vel_precision="HIGH"),
                                  True, None, False),
         "pallas_dft": (dict(mm3d_precision="HIGHEST"), True, None, True),
+        # Box-Muller density draw on top of the shipping round-3 stack
+        # (HIGH big-3D + DEFAULT velocity inverse): a different threefry
+        # stream, so the f64 oracle consumes the same f32 uniforms via
+        # draw_dtype and the comparison stays per-bin.
+        "bm_draw": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                         draw_method="box_muller"), True, None, False),
     }
     if args.variants:
         names = args.variants.split(",")
@@ -251,6 +263,10 @@ def main():
     t.add_argument("--keys", type=int, default=4)
     t.add_argument("--key0", type=int, default=1000)
     t.add_argument("--out", default="truth_gate_128.npz")
+    t.add_argument("--draw-method", default="erfinv",
+                   choices=["erfinv", "box_muller"],
+                   help="density-draw stream the truth is computed on "
+                        "(a non-default method needs its own truth file)")
     t.set_defaults(fn=cmd_truth)
     c = sub.add_parser("check")
     c.add_argument("--truth", default="truth_gate_128.npz")

@@ -99,6 +99,67 @@ def test_hermitian_half_noise_statistics(cosmo_z0):
     assert np.isclose(np.mean(vars_), 1.0, rtol=0.05)
 
 
+def test_hermitian_half_noise_box_muller(cosmo_z0):
+    """The box_muller draw method (PipelineConfig.draw_method): identical
+    statistics contract to the erfinv stream (Hermitian round trip + unit
+    Parseval variance + CN(0,1) interior moments), deterministic per key,
+    and a genuinely different stream than erfinv."""
+    grid = GridSpec.create(box_scale=1e3, nsamp=32)
+    vars_, res, ims = [], [], []
+    for seed in range(6):
+        half = gaussian.hermitian_half_noise(jax.random.PRNGKey(seed), grid,
+                                             jnp.float64,
+                                             method="box_muller")
+        x = jnp.fft.irfftn(half, s=grid.shape)
+        back = jnp.fft.rfftn(x)
+        assert np.allclose(np.asarray(back), np.asarray(half), atol=1e-10)
+        vars_.append(float(jnp.var(x)) * 32**3)
+        interior = np.asarray(half[:, :, 1:16])
+        res.append(interior.real.ravel())
+        ims.append(interior.imag.ravel())
+    assert np.isclose(np.mean(vars_), 1.0, rtol=0.05)
+    re = np.concatenate(res)
+    im = np.concatenate(ims)
+    # interior modes: independent parts of variance 1/2 each
+    for part in (re, im):
+        assert abs(part.mean()) < 5.0 / np.sqrt(part.size)
+        assert np.isclose(part.std(), np.sqrt(0.5), rtol=0.02)
+    assert abs(np.corrcoef(re, im)[0, 1]) < 5.0 / np.sqrt(re.size)
+    # deterministic per key; distinct stream from erfinv
+    a = gaussian.hermitian_half_noise(jax.random.PRNGKey(3), grid,
+                                      jnp.float64, method="box_muller")
+    b = gaussian.hermitian_half_noise(jax.random.PRNGKey(3), grid,
+                                      jnp.float64, method="box_muller")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    e = gaussian.hermitian_half_noise(jax.random.PRNGKey(3), grid,
+                                      jnp.float64)
+    assert not np.allclose(np.asarray(a), np.asarray(e))
+
+
+def test_pipeline_draw_method_pk_statistics(cosmo_z0):
+    """The full pipeline with draw_method='box_muller' produces the same
+    binned density P(k) statistics as the erfinv stream (different
+    realisations, same ensemble)."""
+    from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
+
+    grid = GridSpec.create(box_scale=1e3, nsamp=32)
+    pks = {}
+    for m in ("erfinv", "box_muller"):
+        cfg = PipelineConfig(dtype="float64", include_foregrounds=False,
+                             include_noise=False, draw_method=m)
+        fn = make_pipeline(grid, cosmo_z0, cfg)
+        outs = [np.asarray(fn(jax.random.PRNGKey(s))["pk_density"])
+                for s in range(8)]
+        pks[m] = np.nanmean(outs, axis=0)
+    good = np.isfinite(pks["erfinv"]) & np.isfinite(pks["box_muller"]) \
+        & (pks["erfinv"] > 0)
+    rel = np.abs(pks["box_muller"][good] - pks["erfinv"][good]) \
+        / pks["erfinv"][good]
+    # 8 realisations of a 32^3 box: broadband agreement at the
+    # sample-variance level
+    assert np.median(rel) < 0.25
+
+
 def test_field_statistics(cosmo_z0):
     # Variance of the realised field should match sum P(k) boxfactor / N^6
     grid = GridSpec.create(box_scale=1e3, nsamp=32)
