@@ -113,9 +113,11 @@ def main():
     ap.add_argument("--pallas-draw", default=None,
                     choices=["auto", "on", "off"],
                     help="density-draw backend (PipelineConfig.pallas_draw); "
-                         "default auto = fused on-core PRNG draw on TPU "
-                         "(different stream than threefry; statistics "
-                         "validated by scripts/check_pallas_draw_stats.py)")
+                         "default off (composition loser: 90.6 vs 93.3 "
+                         "pipelines/s at 256^3); on/auto = fused on-core "
+                         "PRNG draw on TPU (different stream than threefry; "
+                         "statistics validated by "
+                         "scripts/check_pallas_draw_stats.py)")
     ap.add_argument("--vel-precision", default=None,
                     help="einsum precision for the velocity inverse "
                          "transform only (DEFAULT/HIGH/HIGHEST); default "

@@ -111,6 +111,8 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          dtype=jnp.float32, keep_velocities: bool = True,
                          force_factor: int = 1, lattice_B: int | None = 3,
                          lattice_impl: str = "auto",
+                         gradient: str = "spectral",
+                         fft_precision: str | None = None,
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -131,6 +133,27 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     the lowering: ``"pallas"`` (fused VMEM kernels,
     ops/pallas/lattice_cic.py), ``"xla"`` (periodic-roll formulation,
     fields/lattice_cic.py), or ``"auto"`` (pallas off CPU).
+
+    ``gradient`` selects how the PM force is differentiated from the
+    k-space Poisson solve: ``"spectral"`` (default) inverse-transforms the
+    three ``i k_i phi_k`` components (3 big C2R transforms per step);
+    ``"fd4"``/``"fd6"`` inverse-transform the potential ONCE and take
+    4th/6th-order centred finite differences in real space (12/18
+    periodic rolls — bandwidth-bound elementwise traffic that XLA fuses,
+    ~1/3 the transform cost per step).  The FD kernels under-pull the
+    force approaching the mesh Nyquist (keff/k at kh=pi/2: fd4 0.849,
+    fd6 0.934), which measurably suppresses small-scale growth: at 32^3
+    the field std lands 15% (fd4) / 10% (fd6) below spectral while
+    large-scale P(k) matches to <1.5% (tests/test_cola.py).  Standard
+    PM-code practice (FastPM-style FD kernels) but NOT the validated
+    default here — spectral differentiation is; use FD only where the
+    transform wall dominates and near-Nyquist power is discarded anyway.
+
+    ``fft_precision`` threads to the force solve's matmul-DFT transforms
+    on TPU (None = the mmfft module default, HIGHEST).  COLA per-step
+    rounding differences are amplified chaotically either way (CLAUDE.md:
+    only statistical assertions are meaningful), so HIGH is a legitimate
+    perf knob here; it has no effect off TPU (native FFT path).
 
     With ``diagnostics=True`` a third return value carries per-step probe
     arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
@@ -210,17 +233,22 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
         lattice_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
     if lattice_impl not in ("xla", "pallas"):
         raise ValueError(f"Unknown lattice_impl '{lattice_impl}'")
+    if gradient not in ("spectral", "fd4", "fd6"):
+        raise ValueError(f"Unknown gradient '{gradient}'")
     evolve = _build_evolve(grid, int(force_factor),
                            None if lattice_B is None else int(lattice_B),
                            dtype.name, bool(keep_velocities),
-                           bool(diagnostics), lattice_impl)
+                           bool(diagnostics), lattice_impl,
+                           gradient, fft_precision)
     return evolve(q, p1, p2, step_consts, scal)
 
 
 @lru_cache(maxsize=8)
 def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                   dtype_name: str, keep_velocities: bool,
-                  diagnostics: bool = False, lattice_impl: str = "xla"):
+                  diagnostics: bool = False, lattice_impl: str = "xla",
+                  gradient: str = "spectral",
+                  fft_precision: str | None = None):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime
@@ -337,7 +365,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                             jnp.int32(-1))
                 rho = cic_paint_particles(u, Nf)
             delta = rho / mean_per_cell - 1.0
-            dk = fft_safe.rfftn(delta)
+            dk = fft_safe.rfftn(delta, precision=fft_precision)
             if kcut is not None:
                 dk = dk * kcut
             inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
@@ -346,10 +374,40 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             # the mesh corners and pumps aliasing noise into the particles.
             # Growth is therefore mildly suppressed approaching the particle
             # Nyquist; pass force_factor >= 2 when that regime matters.
-            base = (1j * c) * dk * inv_k2
-            Fx = fft_safe.irfftn(base * kx_d[:, None, None], s=(Nf, Nf, Nf))
-            Fy = fft_safe.irfftn(base * kx_d[None, :, None], s=(Nf, Nf, Nf))
-            Fz = fft_safe.irfftn(base * kz_d[None, None, :], s=(Nf, Nf, Nf))
+            if gradient in ("fd4", "fd6"):
+                # One inverse transform of the potential, then centred
+                # finite differences.  Periodic rolls are bandwidth-bound
+                # elementwise traffic that XLA fuses — ~1/3 the per-step
+                # transform cost of the spectral path.  Stencils
+                # (coefficients over [f_{j+1}-f_{j-1}, f_{j+2}-f_{j-2},
+                # f_{j+3}-f_{j-3}] / denom*h):
+                #   fd4: (8, -1) / 12        keff/k at kh=pi/2: 0.849
+                #   fd6: (45, -9, 1) / 60    keff/k at kh=pi/2: 0.934
+                phi = fft_safe.irfftn(c * dk * inv_k2, s=(Nf, Nf, Nf),
+                                      precision=fft_precision)
+                if gradient == "fd4":
+                    coeffs, denom = (8.0, -1.0), 12.0
+                else:
+                    coeffs, denom = (45.0, -9.0, 1.0), 60.0
+                invh = dtype.type(1.0 / (denom * cell_f))
+
+                def fd(ax):
+                    acc = None
+                    for j, cj in enumerate(coeffs, start=1):
+                        t = dtype.type(cj) * (jnp.roll(phi, -j, ax)
+                                              - jnp.roll(phi, j, ax))
+                        acc = t if acc is None else acc + t
+                    return acc * invh
+
+                Fx, Fy, Fz = fd(0), fd(1), fd(2)
+            else:
+                base = (1j * c) * dk * inv_k2
+                Fx = fft_safe.irfftn(base * kx_d[:, None, None],
+                                     s=(Nf, Nf, Nf), precision=fft_precision)
+                Fy = fft_safe.irfftn(base * kx_d[None, :, None],
+                                     s=(Nf, Nf, Nf), precision=fft_precision)
+                Fz = fft_safe.irfftn(base * kz_d[None, None, :],
+                                     s=(Nf, Nf, Nf), precision=fft_precision)
             if use_lattice:
                 def g_lat(b):
                     return jnp.stack(

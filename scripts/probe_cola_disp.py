@@ -40,6 +40,14 @@ def main():
     p.add_argument("--redshift", type=float, default=0.0)
     p.add_argument("--redshift-init", type=float, default=15.0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--gradient", default="spectral",
+                   choices=["spectral", "fd4", "fd6"],
+                   help="PM force differentiation (fields/cola.py): fd4/fd6 "
+                        "replace the 3 spectral-gradient inverse transforms "
+                        "with one potential inverse + centred differences")
+    p.add_argument("--fft-precision", default=None,
+                   help="matmul-DFT einsum precision for the force solve "
+                        "(DEFAULT/HIGH/HIGHEST; None = module default)")
     p.add_argument("--repeat", type=int, default=0,
                    help="after the diagnostic run, re-run the evolution "
                         "this many times (fresh seeds, no diagnostics) "
@@ -64,6 +72,7 @@ def main():
         jax.random.PRNGKey(args.seed), grid, cosmo,
         redshift_init=args.redshift_init, keep_velocities=False,
         lattice_B=None if args.no_lattice else args.lattice_B,
+        gradient=args.gradient, fft_precision=args.fft_precision,
         diagnostics=True)
     delta.block_until_ready()
     print(f"# evolve ({args.nsamp}^3, {args.box:.0f} Mpc, "
@@ -98,7 +107,8 @@ def main():
             d, _ = realise_density_cola(
                 jax.random.PRNGKey(seed), grid, cosmo,
                 redshift_init=args.redshift_init, keep_velocities=False,
-                lattice_B=None if args.no_lattice else args.lattice_B)
+                lattice_B=None if args.no_lattice else args.lattice_B,
+                gradient=args.gradient, fft_precision=args.fft_precision)
             return jnp.std(d)
 
         float(one(10_000))  # warm the no-diagnostics program
