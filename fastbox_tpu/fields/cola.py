@@ -283,8 +283,14 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                                         interpret=_interp)
             cic_gather_lattice = partial(plc.cic_gather_lattice_pallas,
                                          interpret=_interp)
+            # Fused 3-mesh force gather: the CIC weight planes depend only
+            # on the displacements, so one kernel shares them across the
+            # three force components instead of rebuilding them 3x.
+            cic_gather3 = partial(plc.cic_gather3_lattice_pallas,
+                                  interpret=_interp)
         else:
             from .lattice_cic import cic_gather_lattice, cic_paint_lattice
+            cic_gather3 = None
 
     Nf = N * force_factor
     cell_f = grid.Lx / Nf
@@ -410,6 +416,10 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                                      s=(Nf, Nf, Nf), precision=fft_precision)
             if use_lattice:
                 def g_lat(b):
+                    if cic_gather3 is not None:
+                        ga, gb, gc = cic_gather3((Fx, Fy, Fz), d, B=b)
+                        return jnp.stack([ga.reshape(-1), gb.reshape(-1),
+                                          gc.reshape(-1)], axis=-1)
                     return jnp.stack(
                         [cic_gather_lattice(F, d, B=b).reshape(-1)
                          for F in (Fx, Fy, Fz)], axis=-1)

@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cic_paint_lattice_pallas", "cic_gather_lattice_pallas"]
+__all__ = ["cic_paint_lattice_pallas", "cic_gather_lattice_pallas",
+           "cic_gather3_lattice_pallas"]
 
 
 def _axis_w(d, o):
@@ -97,7 +98,7 @@ def _rows(triple, s, bx):
     return jnp.concatenate([triple[a][r:], triple[a + 1][:r]], axis=0)
 
 
-def _paint_kernel(*refs, B: int, bx: int, weighted: bool):
+def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z"):
     if weighted:
         (dx0, dx1, dx2, dy0, dy1, dy2, dz0, dz1, dz2,
          w0, w1, w2, out_ref) = refs
@@ -128,49 +129,97 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool):
             if weighted:
                 wx = wx * _rows(wtrip, s, bx)
             fly, fry = _floor_frac(sdy)
-            wzs = _axis_w_planes(sdz, B, dtype)
+            flz, frz = _floor_frac(sdz)
             acc = None
-            for oy in range(-B, B + 2):
-                wxy = wx * _w_from(fly, fry, oy, dtype)
-                inner = None
-                for iz, oz in enumerate(range(-B, B + 2)):
-                    t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
-                    inner = t if inner is None else inner + t
-                t = pltpu.roll(inner, oy % N1, 1)
-                acc = t if acc is None else acc + t
+            if inner == "z":
+                # (2B+2)^2 lane rolls, (2B+2) sublane rolls
+                wzs = _axis_w_planes(sdz, B, dtype)
+                for oy in range(-B, B + 2):
+                    wxy = wx * _w_from(fly, fry, oy, dtype)
+                    part = None
+                    for iz, oz in enumerate(range(-B, B + 2)):
+                        t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
+                        part = t if part is None else part + t
+                    t = pltpu.roll(part, oy % N1, 1)
+                    acc = t if acc is None else acc + t
+            else:
+                # Swapped: (2B+2)^2 sublane rolls, (2B+2) lane rolls —
+                # same arithmetic, different roll-unit pressure (lane
+                # rotates cross the 128-lane register; sublane rotates
+                # stay within the 8-sublane tile).
+                for oz in range(-B, B + 2):
+                    wxz = wx * _w_from(flz, frz, oz, dtype)
+                    part = None
+                    for oy in range(-B, B + 2):
+                        t = pltpu.roll(wxz * _w_from(fly, fry, oy, dtype),
+                                       oy % N1, 1)
+                        part = t if part is None else part + t
+                    t = pltpu.roll(part, oz % N2, 2)
+                    acc = t if acc is None else acc + t
             out_ref[:] += acc
 
 
-def _gather_kernel(m0, m1, m2, dx_r, dy_r, dz_r, out_ref, *, B: int, bx: int):
+def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z"):
+    """Gather ``nmesh`` co-located meshes at the same particle positions.
+
+    All CIC weights are evaluated at the particle (output) site, so the
+    weight planes are computed ONCE and shared across meshes — the whole
+    point of the fused nmesh=3 variant (the PM force's three components,
+    fields/cola.py): 3 separate gathers recompute every weight plane.
+    ``inner`` picks which axis takes the (2B+2)^2 roll factor (see
+    _paint_kernel).
+    """
+    mesh_refs = refs[:3 * nmesh]
+    dx_r, dy_r, dz_r = refs[3 * nmesh:3 * nmesh + 3]
+    out_refs = refs[3 * nmesh + 3:]
     dtype = dx_r.dtype
-    N1 = out_ref.shape[1]
-    N2 = out_ref.shape[2]
+    N1 = out_refs[0].shape[1]
+    N2 = out_refs[0].shape[2]
     k_id = pl.program_id(1)
 
     @pl.when(k_id == 0)
     def _():
-        out_ref[:] = jnp.zeros(out_ref.shape, dtype)
+        for o in out_refs:
+            o[:] = jnp.zeros(o.shape, dtype)
 
     for k in range(2 * B + 2):
         @pl.when(k_id == k)
         def _(k=k):
             ox = k - B
-            Mx = _rows((m0, m1, m2), bx + ox, bx)
+            Mxs = [_rows(mesh_refs[3 * m:3 * m + 3], bx + ox, bx)
+                   for m in range(nmesh)]
             wx = _axis_w(dx_r[:], dtype.type(ox))
             fly, fry = _floor_frac(dy_r[:])
-            wzs = _axis_w_planes(dz_r[:], B, dtype)
-            acc = None
-            for oy in range(-B, B + 2):
-                # mesh value at (ly + oy) lands at particle row ly:
-                # roll by -oy
-                R = pltpu.roll(Mx, (-oy) % N1, 1)
-                s = None
-                for iz, oz in enumerate(range(-B, B + 2)):
-                    t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
-                    s = t if s is None else s + t
-                t = wx * _w_from(fly, fry, oy, dtype) * s
-                acc = t if acc is None else acc + t
-            out_ref[:] += acc
+            flz, frz = _floor_frac(dz_r[:])
+            accs = [None] * nmesh
+            if inner == "z":
+                wzs = _axis_w_planes(dz_r[:], B, dtype)
+                for oy in range(-B, B + 2):
+                    # mesh value at (ly + oy) lands at particle row ly:
+                    # roll by -oy
+                    wxy = wx * _w_from(fly, fry, oy, dtype)
+                    for m in range(nmesh):
+                        R = pltpu.roll(Mxs[m], (-oy) % N1, 1)
+                        s = None
+                        for iz, oz in enumerate(range(-B, B + 2)):
+                            t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
+                            s = t if s is None else s + t
+                        t = wxy * s
+                        accs[m] = t if accs[m] is None else accs[m] + t
+            else:
+                wys = _axis_w_planes(dy_r[:], B, dtype)
+                for oz in range(-B, B + 2):
+                    wxz = wx * _w_from(flz, frz, oz, dtype)
+                    for m in range(nmesh):
+                        Z = pltpu.roll(Mxs[m], (-oz) % N2, 2)
+                        s = None
+                        for iy, oy in enumerate(range(-B, B + 2)):
+                            t = wys[iy] * pltpu.roll(Z, (-oy) % N1, 1)
+                            s = t if s is None else s + t
+                        t = wxz * s
+                        accs[m] = t if accs[m] is None else accs[m] + t
+            for m in range(nmesh):
+                out_refs[m][:] += accs[m]
 
 
 _VMEM_BUDGET = 48 * 1024 * 1024
@@ -195,9 +244,9 @@ def _pick_bx(N: int, B: int) -> int:
     return bx
 
 
-@partial(jax.jit, static_argnames=("B", "interpret"))
+@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
 def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
-                             interpret: bool = False):
+                             interpret: bool = False, inner: str = "z"):
     """Fused CIC paint of lattice-ordered particles (see module docstring).
 
     Parameters:
@@ -238,7 +287,7 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
         specs += [spec(-1), spec(0), spec(1)]
 
     return pl.pallas_call(
-        partial(_paint_kernel, B=B, bx=bx, weighted=weighted),
+        partial(_paint_kernel, B=B, bx=bx, weighted=weighted, inner=inner),
         grid=(nblk, 2 * B + 2),
         in_specs=specs,
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
@@ -251,9 +300,9 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
     )(*args)
 
 
-@partial(jax.jit, static_argnames=("B", "interpret"))
+@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
 def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
-                              interpret: bool = False):
+                              interpret: bool = False, inner: str = "z"):
     """Fused CIC interpolation at lattice-ordered particle positions.
 
     Parameters:
@@ -286,7 +335,7 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
                        memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_gather_kernel, B=B, bx=bx),
+        partial(_gather_kernel, B=B, bx=bx, nmesh=1, inner=inner),
         grid=(nblk, 2 * B + 2),
         in_specs=[spec(-1), spec(0), spec(1), own, own, own],
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
@@ -297,3 +346,59 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(mesh, mesh, mesh, dx, dy, dz)
+
+
+@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
+def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
+                               interpret: bool = False, inner: str = "z"):
+    """Fused CIC interpolation of THREE meshes at the same lattice-ordered
+    particle positions (the PM force components, fields/cola.py).
+
+    The CIC weight planes depend only on ``disp``, so one fused kernel
+    computes them once and reuses them across the three meshes — three
+    separate :func:`cic_gather_lattice_pallas` calls rebuild every weight
+    plane and re-read the displacement blocks.
+
+    Parameters:
+        meshes: tuple of three (N, N, N) periodic fields.
+        disp: (N, N, N, 3) wrapped displacements in cell units, |disp|<=B.
+
+    Returns:
+        tuple of three (N, N, N) interpolated-value arrays.
+    """
+    ma, mb, mc = meshes
+    N = ma.shape[0]
+    B = int(B)
+    bx = _pick_bx(N, B)
+    nblk = N // bx
+
+    # See the paint kernel's operand barrier comment.
+    if isinstance(disp, tuple):
+        ax = disp
+    else:
+        ax = (disp[..., 0], disp[..., 1], disp[..., 2])
+    ma, mb, mc, dx, dy, dz = jax.lax.optimization_barrier(
+        (ma, mb, mc) + tuple(jnp.asarray(a) for a in ax))
+
+    def spec(off):
+        return pl.BlockSpec((bx, N, N),
+                            lambda j, k, off=off: ((j + off) % nblk, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    own = pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_gather_kernel, B=B, bx=bx, nmesh=3, inner=inner),
+        grid=(nblk, 2 * B + 2),
+        in_specs=[spec(-1), spec(0), spec(1)] * 3 + [own, own, own],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((N, N, N), ma.dtype)
+                        for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(ma, ma, ma, mb, mb, mb, mc, mc, mc, dx, dy, dz)

@@ -53,14 +53,33 @@ def timed(name, fn, *args):
     return out
 
 
+VARIANTS = os.environ.get("VARIANTS", "z,y,g3z,g3y").split(",")
+
 for B in (2, 3):
     d = jnp.clip(disp, -(B - 0.1), B - 0.1)
 
     paint = jax.jit(lambda dd, B=B: cic_paint_lattice_pallas(dd, B=B))
     mesh = timed(f"paint  B={B}", paint, d)
+    if "y" in VARIANTS:
+        paint_y = jax.jit(
+            lambda dd, B=B: cic_paint_lattice_pallas(dd, B=B, inner="y"))
+        timed(f"paint  B={B} inner=y", paint_y, d)
 
     gather = jax.jit(lambda m, dd, B=B: cic_gather_lattice_pallas(m, dd, B=B))
     timed(f"gather B={B}", gather, mesh, d)
+    if "y" in VARIANTS:
+        gather_y = jax.jit(lambda m, dd, B=B: cic_gather_lattice_pallas(
+            m, dd, B=B, inner="y"))
+        timed(f"gather B={B} inner=y", gather_y, mesh, d)
+    for tag, inner in (("g3z", "z"), ("g3y", "y")):
+        if tag in VARIANTS:
+            from fastbox_tpu.ops.pallas.lattice_cic import (
+                cic_gather3_lattice_pallas)
+
+            g3 = jax.jit(lambda m, dd, B=B, i=inner:
+                         cic_gather3_lattice_pallas((m, m, m), dd, B=B,
+                                                    inner=i)[0])
+            timed(f"gather3 B={B} inner={inner} (3 meshes)", g3, mesh, d)
 
     # correctness spot check vs the XLA roll formulation at small N
     if N <= 128:

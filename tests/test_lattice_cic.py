@@ -130,3 +130,38 @@ def test_cola_bound_violation_falls_back():
     d1, _ = realise_density_cola(jax.random.PRNGKey(6), grid, cosmo,
                                  lattice_B=None, **kw)
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-8
+
+def test_pallas_kernel_variants_match(rng):
+    """The swapped-roll-axis (inner='y') kernel bodies and the fused
+    3-mesh gather must reproduce the default (inner='z') single-mesh
+    kernels exactly — same arithmetic, different roll scheduling."""
+    from fastbox_tpu.ops.pallas.lattice_cic import (
+        cic_gather3_lattice_pallas,
+        cic_gather_lattice_pallas,
+        cic_paint_lattice_pallas,
+    )
+
+    for N, B in ((8, 1), (16, 2)):
+        disp, u = _lattice_setup(rng, N, B)
+        d = wrapped_displacement(jnp.asarray(u, jnp.float32), N)
+        w = jnp.asarray(rng.uniform(0.5, 2.0,
+                                    size=(N, N, N)).astype(np.float32))
+        meshes = tuple(jnp.asarray(
+            rng.standard_normal((N, N, N)).astype(np.float32))
+            for _ in range(3))
+
+        p_ref = cic_paint_lattice_pallas(d, B=B, weights=w, interpret=True)
+        p_y = cic_paint_lattice_pallas(d, B=B, weights=w, interpret=True,
+                                       inner="y")
+        assert np.abs(np.asarray(p_ref) - np.asarray(p_y)).max() < 1e-5
+
+        g_ref = [cic_gather_lattice_pallas(m, d, B=B, interpret=True)
+                 for m in meshes]
+        g_y = cic_gather_lattice_pallas(meshes[0], d, B=B, interpret=True,
+                                        inner="y")
+        assert np.abs(np.asarray(g_ref[0]) - np.asarray(g_y)).max() < 1e-5
+        for inner in ("z", "y"):
+            g3 = cic_gather3_lattice_pallas(meshes, d, B=B, interpret=True,
+                                            inner=inner)
+            for a, b in zip(g_ref, g3):
+                assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
