@@ -89,9 +89,16 @@ class CosmoParams:
 
 
 def as_cosmo_params(cosmo) -> CosmoParams:
-    """Coerce a CosmoParams or reference-style dict into CosmoParams."""
+    """Coerce a CosmoParams, reference-style dict, or built Cosmology
+    (anything carrying a ``.params`` CosmoParams — the analog of the
+    reference passing its ``ccl.Cosmology`` into forecast helpers,
+    forecast.py:59-210) into CosmoParams."""
     if isinstance(cosmo, CosmoParams):
         return cosmo
     if isinstance(cosmo, dict):
         return CosmoParams.from_dict(cosmo)
-    raise TypeError("`cosmo` must be a CosmoParams object or dict.")
+    params = getattr(cosmo, "params", None)
+    if isinstance(params, CosmoParams):
+        return params
+    raise TypeError("`cosmo` must be a CosmoParams, a params dict, or a "
+                    "built Cosmology.")

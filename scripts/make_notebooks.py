@@ -391,10 +391,12 @@ C_IM, C_GAL, C_CROSS = PALETTE[0], PALETTE[1], PALETTE[2]
 delta_ell = 4
 ells = np.arange(2, 501, delta_ell).astype(float)
 zmin, zmax = 0.8, 1.0
-ngal_per_z = 1e9          # LSST-like: galaxies per unit z per full sky
-fsky = 0.1
+ngal = 1e-5               # comoving galaxy number density, Mpc^-3
+sarea = 4000.0            # IM survey area, deg^2
+fsky = sarea / (4.0 * np.pi * (180.0 / np.pi) ** 2)
+print("fsky = %.3f" % fsky)
 
-inst = forecast.inst_meerkatuhf
+inst = dict(forecast.inst_meerkatuhf, fsky=fsky, fsky_overlap=fsky)
 print("%s survey bin: z = %3.2f -- %3.2f  (nu = %.0f -- %.0f MHz)"
       % (inst["name"], zmin, zmax,
          forecast.NU21CM / (1.0 + zmax), forecast.NU21CM / (1.0 + zmin)))
@@ -411,10 +413,11 @@ Cell_cross = forecast.angular_cl(cosmo, tracer_im, tracer_gal, ells)
 Nell_im = np.asarray(forecast.noise_im(cosmo, inst, ells, zmin,
                                        zmax)).flatten()
 Ngal_per_ster = forecast.number_density_to_area_density(
-    cosmo, ngal_per_z, zmin, zmax)
+    cosmo, ngal, zmin, zmax)
 Nell_gal = np.ones_like(ells) / Ngal_per_ster
 print("shot noise (gal):  %.3e" % Nell_gal[0])
-print("IM noise at l=100: %.3e" % Nell_im[ells == 100][0])
+l_near = int(np.argmin(np.abs(ells - 100.0)))
+print("IM noise at l=%d: %.3e" % (ells[l_near], Nell_im[l_near]))
 """),
     ("code", """
 fig, ax = plt.subplots(figsize=(10, 6))
@@ -434,15 +437,14 @@ fig.tight_layout()
 """),
     ("md", "## Fisher matrix and bandpower errors"),
     ("code", """
-F_ell = forecast.fisher_bandpowers(ells, delta_ell=delta_ell, fsky=fsky,
-                                   Cell_gal=Cell_gal + Nell_gal,
-                                   Cell_im=Cell_im + Nell_im,
-                                   Cell_cross=Cell_cross)
-F_ell = np.asarray(F_ell)
-sigma_cross = np.sqrt(1.0 / np.diag(F_ell.reshape(ells.size, ells.size))
-                      if F_ell.ndim > 1 else 1.0 / F_ell)
-print("median bandpower SNR: %.2f"
-      % np.median(np.abs(Cell_cross) / sigma_cross))
+F_ell = np.asarray(forecast.fisher_bandpowers(
+    ells, delta_ell=delta_ell, fsky=fsky,
+    Cell_gal=Cell_gal, Cell_im=Cell_im, Cell_cross=Cell_cross,
+    Nell_gal=Nell_gal, Nell_im=Nell_im))
+sigma_cross = np.sqrt(1.0 / F_ell)
+snr = np.abs(Cell_cross) / sigma_cross
+print("peak bandpower SNR: %.2f at l=%d" % (snr.max(), ells[snr.argmax()]))
+print("total detection SNR (sqrt sum snr^2): %.1f" % np.sqrt((snr**2).sum()))
 """),
     ("code", """
 ell_fac = ells * (ells + 1.0) / (2.0 * np.pi)
