@@ -108,8 +108,10 @@ def main():
                          "admissible (scripts/truth_gate.py)")
     ap.add_argument("--fft-pair", action="store_true",
                     help="fuse the (delta_x, vel_z) inverse pair into one "
-                         "complex MXU inverse; truth-gated admissible at "
-                         "7.9e-3 (TRUTH_GATE.json)")
+                         "complex MXU inverse; REJECTED by the 256^3 truth "
+                         "gate (6.4e-2 with a systematic +2%% low-bin bias, "
+                         "TRUTH_GATE_256.json) and slower on TPU anyway — "
+                         "kept for off-TPU backends")
     ap.add_argument("--pallas-draw", default=None,
                     choices=["auto", "on", "off"],
                     help="density-draw backend (PipelineConfig.pallas_draw); "
@@ -132,11 +134,14 @@ def main():
                     help="PCA clean backend: exact eigh (default) or the "
                          "oversampled subspace + Rayleigh-Ritz iteration "
                          "(PipelineConfig.pca_exact=False)")
-    ap.add_argument("--chain", type=int, default=16,
+    ap.add_argument("--chain", type=int, default=None,
                     help="scan this many pipelines per dispatch (amortises "
                          "the ~5 ms tunnel launch overhead; 1 = one "
-                         "program per realisation; 8 -> 16 measured "
-                         "96.3 -> 100.3 pipelines/s at 256^3)")
+                         "program per realisation). Default is "
+                         "size-dependent: 16 up to 256^3 (measured "
+                         "96.3 -> 100.3 pipelines/s over chain=8), 4 from "
+                         "512^3 up (chain=8 regresses 9.60 -> 9.43 and "
+                         "large chains compile for many minutes)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--init-timeout", type=float, default=900.0,
                     help="seconds before a hung backend init is reported "
@@ -170,6 +175,8 @@ def main():
                                      vel_precision=args.vel_precision)
     if args.draw_method is not None:
         config = dataclasses.replace(config, draw_method=args.draw_method)
+    if args.chain is None:
+        args.chain = 16 if args.nsamp <= 256 else 4
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 

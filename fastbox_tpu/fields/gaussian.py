@@ -51,12 +51,12 @@ def _complex_normal(key, shape, dtype, method: str = "erfinv"):
     """
     k1, k2 = jax.random.split(key)
     if method == "box_muller":
-        tiny = jnp.finfo(dtype).tiny
-        u1 = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
-        u2 = jax.random.uniform(k2, shape, dtype)
-        r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
-        th = dtype.type(2.0 * np.pi) * u2
-        return jax.lax.complex(r * jnp.cos(th), r * jnp.sin(th))
+        # Lazy import: parallel/__init__ imports modules that import this
+        # file, so a top-level import would be circular.  bm_pair is the
+        # single stream-defining Box-Muller (shared with the rows draws).
+        from ..parallel.rng import bm_pair
+
+        return jax.lax.complex(*bm_pair(k1, k2, shape, dtype))
     if method != "erfinv":
         raise ValueError(f"Unknown draw method '{method}'")
     return jax.lax.complex(jax.random.normal(k1, shape, dtype),
@@ -122,14 +122,16 @@ def colored_half_noise(key, grid: GridSpec, amp_half, dtype=jnp.float32,
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - backend init failure
         platform = "cpu"
-    lane_ok = (N * H) % 128 == 0
+    # Both kernel preconditions (colored_complex_normal_pallas asserts
+    # them): rows N % 8 (sublane tiling) AND lanes (N*H) % 128.
+    lane_ok = N % 8 == 0 and (N * H) % 128 == 0
     if not ((platform in ("tpu", "axon") and lane_ok) or interpret):
         return hermitian_half_noise(key, grid, dtype) * amp_half
 
     from ..ops.pallas.half_draw import colored_complex_normal_pallas
 
     k_int, k_p0, k_pn = jax.random.split(key, 3)
-    seed = jax.random.bits(k_int, (), "uint32").astype(jnp.int32)
+    seed = jax.random.bits(k_int, (2,), "uint32").astype(jnp.int32)
     re, im = colored_complex_normal_pallas(
         amp_half.reshape(N, N * H), seed, interpret=interpret)
     half = jax.lax.complex(re, im).reshape(N, N, H)

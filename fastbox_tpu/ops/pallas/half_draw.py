@@ -49,9 +49,13 @@ _MAX_BLOCK_BYTES = 1.3e6
 
 
 def _kernel(seed_ref, amp_ref, re_ref, im_ref):
-    # Mosaic caps prng_seed at 2 values: fold the 2D grid index into one
+    # Mosaic caps prng_seed at 2 values: spend them as (key word 0,
+    # key word 1 ^ block index) — 64 bits of the jax key survive (a
+    # single 32-bit word collides distinct ensemble keys at birthday
+    # rates over ~10^5 realisations), and each row-block still gets a
+    # distinct stream because blk only touches the second word.
     blk = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], blk)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ blk)
     amp = amp_ref[:]                      # (BR, BC)
     dtype = jnp.dtype(amp.dtype)
     # One Box-Muller pass yields two INDEPENDENT unit normal fields: the
@@ -68,8 +72,10 @@ def colored_complex_normal_pallas(amp2d, seed, interpret: bool = False):
 
     Parameters:
         amp2d: (R, C) real array, C a multiple of 128.
-        seed: int32 scalar (derive from a jax key with jax.random.bits);
-            each row-block reseeds with (seed, block_index).
+        seed: int32 scalar or (2,) vector (derive from a jax key with
+            ``jax.random.bits(k, (2,), "uint32")``); each row-block
+            reseeds with (seed[0], seed[1] ^ block_index).  A scalar is
+            zero-extended (legacy 32-bit entropy).
 
     Returns:
         (re, im) arrays of amp2d's shape/dtype.
@@ -90,7 +96,10 @@ def colored_complex_normal_pallas(amp2d, seed, interpret: bool = False):
             if nlanes % dd == 0)
     bc = 128 * d
 
-    seed_arg = jnp.asarray(seed, jnp.int32).reshape(1)
+    seed_arg = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed_arg.shape[0] == 1:
+        seed_arg = jnp.concatenate([seed_arg, jnp.zeros(1, jnp.int32)])
+    assert seed_arg.shape == (2,), f"seed must be scalar or (2,), got {seed_arg.shape}"
     bspec = pl.BlockSpec((br, bc), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
     re, im = pl.pallas_call(

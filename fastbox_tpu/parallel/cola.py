@@ -44,7 +44,7 @@ from ..fields.cola import _growth_scalars, _kick_drift_integrals
 from ..cosmology import background as bg
 from .fft import pirfft3_local, prfft3_local
 from .lattice import halo_gather_many, halo_paint, halo_paint_many
-from .rng import TAGS, row_normal
+from .rng import TAGS, default_row_method, row_normal
 
 __all__ = ["make_sharded_cola"]
 
@@ -172,7 +172,12 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
 
         # --- initial conditions: rows-keyed linear field + 2LPT ---------
-        white = row_normal(key, TAGS["density"], row0, Np, (N, N), dtype)
+        # default_row_method: Box-Muller from 1024^3 up — the erf_inv
+        # lowering's full-shape coefficient-broadcast temps alone exceed
+        # per-chip HBM at those slab shapes (SCALING_1024_TPU.json),
+        # matching pipeline.py / sharded.py.
+        white = row_normal(key, TAGS["density"], row0, Np, (N, N), dtype,
+                           method=default_row_method(N))
         white_h = prfft3_local(white[None], "space")[0] * dtype.type(N**-1.5)
         kmag = jnp.sqrt(k2)
         amp = jnp.sqrt(jnp.nan_to_num(cosmology.pk_lin_z0(kmag))

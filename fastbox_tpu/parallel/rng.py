@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TAGS", "row_normal", "row_complex_normal"]
+__all__ = ["TAGS", "bm_pair", "row_normal", "row_complex_normal"]
 
 # Stream tags (arbitrary distinct constants, stable across versions)
 TAGS = {
@@ -34,6 +34,24 @@ TAGS = {
     "noise": 202,
     "halos": 301,
 }
+
+
+def bm_pair(k1, k2, shape, dtype):
+    """One Box-Muller transform: TWO independent N(0,1) fields of ``shape``.
+
+    The canonical threefry-uniform Box-Muller used everywhere outside
+    Pallas (``_bm_normal`` rows here, ``fields.gaussian._complex_normal``
+    re/im pairs); keeping it in one place pins the stream — the
+    tiny-floored ``u1`` endpoint convention and the (cos, sin) output
+    order DEFINE which realisation a key maps to.
+    """
+    dtype = jnp.dtype(dtype)
+    tiny = jnp.finfo(dtype).tiny
+    u1 = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
+    u2 = jax.random.uniform(k2, shape, dtype)
+    r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
+    th = dtype.type(2.0 * jnp.pi) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
 
 
 def _bm_normal(key, shape, dtype):
@@ -53,18 +71,11 @@ def _bm_normal(key, shape, dtype):
     """
     dtype = jnp.dtype(dtype)
     k1, k2 = jax.random.split(key)
-    tiny = jnp.finfo(dtype).tiny
-    two_pi = dtype.type(2.0 * jnp.pi)
     if shape and shape[-1] % 2 == 0:
         half = shape[:-1] + (shape[-1] // 2,)
-        u1 = jax.random.uniform(k1, half, dtype, minval=tiny, maxval=1.0)
-        u2 = jax.random.uniform(k2, half, dtype)
-        r = jnp.sqrt(dtype.type(-2.0) * jnp.log(u1))
-        th = two_pi * u2
-        return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
-    u1 = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
-    u2 = jax.random.uniform(k2, shape, dtype)
-    return jnp.sqrt(dtype.type(-2.0) * jnp.log(u1)) * jnp.cos(two_pi * u2)
+        a, b = bm_pair(k1, k2, half, dtype)
+        return jnp.concatenate([a, b], axis=-1)
+    return bm_pair(k1, k2, shape, dtype)[0]
 
 
 def row_normal(key, tag: int, row0, nrows: int, row_shape, dtype,

@@ -97,6 +97,23 @@ def main():
           and np.array_equal(im, np.asarray(im2)))
     check("colored draw seed sensitivity",
           not np.array_equal(re, np.asarray(re3)))
+    # Two-word seed path (the production entropy: 64 bits of the jax key
+    # survive — gaussian.colored_half_noise passes (2,) int32).  A scalar
+    # seed s is zero-extended to (s, 0), so (99,) must reproduce 99, and
+    # flipping EITHER word must change the stream.
+    rev0, imv0 = colored_complex_normal_pallas(
+        jnp.asarray(amp), jnp.asarray([99, 0], jnp.int32))
+    rev1, _ = colored_complex_normal_pallas(
+        jnp.asarray(amp), jnp.asarray([99, 1], jnp.int32))
+    rev2, _ = colored_complex_normal_pallas(
+        jnp.asarray(amp), jnp.asarray([98, 0], jnp.int32))
+    check("colored draw (s,0) == scalar s",
+          np.array_equal(re, np.asarray(rev0))
+          and np.array_equal(im, np.asarray(imv0)))
+    check("colored draw 2nd seed word sensitivity",
+          not np.array_equal(re, np.asarray(rev1)))
+    check("colored draw 1st seed word sensitivity",
+          not np.array_equal(re, np.asarray(rev2)))
 
     # end-to-end half-spectrum statistics through colored_half_noise:
     # the irfftn of the colored draw must reproduce the target P(k) std

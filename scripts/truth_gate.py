@@ -132,7 +132,8 @@ def cmd_truth(args):
     np.savez(args.out, k=k, pk_cleaned=t_c, pk_density=t_d, sigma=t_s,
              f32_pk_cleaned=f_c, f32_pk_density=f_d, f32_sigma=f_s,
              keys=np.asarray(keys),
-             meta=np.asarray([args.nsamp, args.box, args.redshift]))
+             meta=np.asarray([args.nsamp, args.box, args.redshift]),
+             draw_method=np.asarray(args.draw_method))
     print(f"[truth] wrote {args.out}", flush=True)
 
 
@@ -143,6 +144,11 @@ def cmd_check(args):
     d = np.load(args.truth)
     nsamp, box, redshift = d["meta"]
     keys = [int(s) for s in d["keys"]]
+    # Realisation stream of the truth file (legacy files predate the
+    # field and are all erfinv).  A variant drawing a DIFFERENT stream
+    # must not be compared per-bin against this truth — the result would
+    # be O(1) realisation scatter masquerading as an accuracy number.
+    truth_dm = str(d["draw_method"]) if "draw_method" in d else "erfinv"
     t_c, t_d = d["pk_cleaned"], d["pk_density"]
     floor = float(np.max(_rel(d["f32_pk_cleaned"], t_c)))
     floor_low = float(np.max(_rel(d["f32_pk_cleaned"], t_c)[:, :5]))
@@ -197,6 +203,15 @@ def cmd_check(args):
 
     results = {}
     for name, (kw, prefer_mm, prec, pallas_dft) in variants.items():
+        variant_dm = kw.get("draw_method", "erfinv")
+        if variant_dm != truth_dm:
+            print(f"[check] {name:16s} SKIPPED: variant draw_method="
+                  f"'{variant_dm}' but truth file is '{truth_dm}' — "
+                  f"different realisation streams are not per-bin "
+                  f"comparable (generate a matching truth with "
+                  f"`truth --draw-method {variant_dm}`)", flush=True)
+            results[name] = {"skipped": f"stream mismatch vs {truth_dm}"}
+            continue
         fft_safe.PREFER_MM = prefer_mm
         mmfft.PALLAS_DFT = pallas_dft
         if prec is not None:
