@@ -113,6 +113,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          lattice_impl: str = "auto",
                          gradient: str = "spectral",
                          fft_precision: str | None = None,
+                         fuse_force_gather: bool = False,
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -239,7 +240,8 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                            None if lattice_B is None else int(lattice_B),
                            dtype.name, bool(keep_velocities),
                            bool(diagnostics), lattice_impl,
-                           gradient, fft_precision)
+                           gradient, fft_precision,
+                           bool(fuse_force_gather))
     return evolve(q, p1, p2, step_consts, scal)
 
 
@@ -248,7 +250,8 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                   dtype_name: str, keep_velocities: bool,
                   diagnostics: bool = False, lattice_impl: str = "xla",
                   gradient: str = "spectral",
-                  fft_precision: str | None = None):
+                  fft_precision: str | None = None,
+                  fuse_force_gather: bool = False):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime
@@ -286,8 +289,16 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             # Fused 3-mesh force gather: the CIC weight planes depend only
             # on the displacements, so one kernel shares them across the
             # three force components instead of rebuilding them 3x.
-            cic_gather3 = partial(plc.cic_gather3_lattice_pallas,
-                                  interpret=_interp)
+            # OPT-IN: inside the full evolve program the fused kernel's
+            # Mosaic scoped-vmem stack exceeds the 96 MB limit at 256^3
+            # (100.6 MB at B=2, measured 2026-08-19 — the 9 mesh blocks +
+            # per-offset temps triple the single-mesh working set), so the
+            # default stays the per-mesh gather the engine was validated
+            # with.  Enable only after a standalone microbench AND an
+            # in-engine compile both pass at the target size.
+            cic_gather3 = (partial(plc.cic_gather3_lattice_pallas,
+                                   interpret=_interp)
+                           if fuse_force_gather else None)
         else:
             from .lattice_cic import cic_gather_lattice, cic_paint_lattice
             cic_gather3 = None

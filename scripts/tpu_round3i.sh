@@ -17,12 +17,11 @@ print("probe:", float(jax.jit(lambda x: (x*x).sum())(jnp.arange(8.0))), flush=Tr
 PYEOF
 [ $? -ne 0 ] && { echo "TPU probe FAILED — aborting round3i"; exit 1; }
 
-echo "---- [1/5] 512^3 chain=7 (4->5->6 measured 9.60->9.63->9.72, 8 gives 9.43) ----"
-timeout 3600 python bench.py --nsamp 512 --iters 4 --chain 7 --verbose
+echo "---- [1/5] COLA 256^3 steady-state (per-mesh gather engine restored) ----"
+timeout 3600 python scripts/probe_cola_disp.py --nsamp 256 --box 4000 --repeat 3
 
-echo "---- [2/5] 512^3 box_muller chain=6 ----"
-timeout 3600 python bench.py --nsamp 512 --iters 4 --chain 6 \
-    --draw-method box_muller --verbose
+echo "---- [2/5] 512^3 chain=7 (4->5->6 measured 9.60->9.63->9.72, 8 gives 9.43) ----"
+timeout 3600 python bench.py --nsamp 512 --iters 4 --chain 7 --verbose
 
 echo "---- [3/5] pallas_draw stats gate refresh (64-bit kernel seed) ----"
 timeout 3600 python scripts/check_pallas_draw_stats.py --nsamp 128 --keys 32 \
