@@ -182,7 +182,7 @@ def main():
     if args.draw_method is not None:
         config = dataclasses.replace(config, draw_method=args.draw_method)
     if args.chain is None:
-        args.chain = 16 if args.nsamp <= 256 else 4
+        args.chain = 16 if args.nsamp <= 256 else 6
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 

@@ -113,7 +113,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          lattice_impl: str = "auto",
                          gradient: str = "spectral",
                          fft_precision: str | None = None,
-                         fuse_force_gather: bool = False,
+                         fuse_force_gather: bool | int = False,
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -155,6 +155,12 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     rounding differences are amplified chaotically either way (CLAUDE.md:
     only statistical assertions are meaningful), so HIGH is a legitimate
     perf knob here; it has no effect off TPU (native FFT path).
+
+    ``fuse_force_gather`` gathers all three PM force components in ONE
+    Pallas kernel that shares the CIC weight planes (vs rebuilding them
+    3x).  False (default) keeps the validated per-mesh gathers; True
+    fuses every ladder branch; an int fuses only branches with band
+    <= it (the fused kernel's VMEM working set grows with the band).
 
     With ``diagnostics=True`` a third return value carries per-step probe
     arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
@@ -241,8 +247,20 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                            dtype.name, bool(keep_velocities),
                            bool(diagnostics), lattice_impl,
                            gradient, fft_precision,
-                           bool(fuse_force_gather))
+                           _fuse_max_band(fuse_force_gather))
     return evolve(q, p1, p2, step_consts, scal)
+
+
+def _fuse_max_band(fuse_force_gather) -> int:
+    """Normalise the fuse_force_gather knob to a max fused band.
+
+    False -> 0 (never fuse), True -> every band, an int B -> fuse the
+    3-mesh force gather only for ladder branches with band <= B (wider
+    bands keep the validated per-mesh gathers).
+    """
+    if isinstance(fuse_force_gather, bool):
+        return 99 if fuse_force_gather else 0
+    return int(fuse_force_gather)
 
 
 @lru_cache(maxsize=8)
@@ -251,7 +269,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                   diagnostics: bool = False, lattice_impl: str = "xla",
                   gradient: str = "spectral",
                   fft_precision: str | None = None,
-                  fuse_force_gather: bool = False):
+                  fuse_force_gather: int = 0):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime
@@ -289,16 +307,15 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
             # Fused 3-mesh force gather: the CIC weight planes depend only
             # on the displacements, so one kernel shares them across the
             # three force components instead of rebuilding them 3x.
-            # OPT-IN: inside the full evolve program the fused kernel's
-            # Mosaic scoped-vmem stack exceeds the 96 MB limit at 256^3
-            # (100.6 MB at B=2, measured 2026-08-19 — the 9 mesh blocks +
-            # per-offset temps triple the single-mesh working set), so the
-            # default stays the per-mesh gather the engine was validated
-            # with.  Enable only after a standalone microbench AND an
-            # in-engine compile both pass at the target size.
+            # OPT-IN (False by default): its working set is ~3x the
+            # single-mesh gather's (100.6 MB at 256^3/B=2 — the kernel
+            # carries its own 116 MB scoped-vmem limit), so enable only
+            # after an in-engine compile passes at the target size.
+            # fuse_force_gather may be an int: fuse only ladder branches
+            # with band <= it (wide bands keep the per-mesh gathers).
             cic_gather3 = (partial(plc.cic_gather3_lattice_pallas,
                                    interpret=_interp)
-                           if fuse_force_gather else None)
+                           if fuse_force_gather > 0 else None)
         else:
             from .lattice_cic import cic_gather_lattice, cic_paint_lattice
             cic_gather3 = None
@@ -427,7 +444,7 @@ def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                                      s=(Nf, Nf, Nf), precision=fft_precision)
             if use_lattice:
                 def g_lat(b):
-                    if cic_gather3 is not None:
+                    if cic_gather3 is not None and b <= fuse_force_gather:
                         ga, gb, gc = cic_gather3((Fx, Fy, Fz), d, B=b)
                         return jnp.stack([ga.reshape(-1), gb.reshape(-1),
                                           gc.reshape(-1)], axis=-1)

@@ -48,6 +48,11 @@ def main():
     p.add_argument("--fft-precision", default=None,
                    help="matmul-DFT einsum precision for the force solve "
                         "(DEFAULT/HIGH/HIGHEST; None = module default)")
+    p.add_argument("--fuse", type=int, default=0,
+                   help="fuse_force_gather: gather all 3 PM force "
+                        "components in one Pallas kernel for ladder "
+                        "branches with band <= FUSE (0 = per-mesh "
+                        "gathers, the validated default)")
     p.add_argument("--repeat", type=int, default=0,
                    help="after the diagnostic run, re-run the evolution "
                         "this many times (fresh seeds, no diagnostics) "
@@ -73,7 +78,7 @@ def main():
         redshift_init=args.redshift_init, keep_velocities=False,
         lattice_B=None if args.no_lattice else args.lattice_B,
         gradient=args.gradient, fft_precision=args.fft_precision,
-        diagnostics=True)
+        fuse_force_gather=args.fuse, diagnostics=True)
     delta.block_until_ready()
     print(f"# evolve ({args.nsamp}^3, {args.box:.0f} Mpc, "
           f"z {args.redshift_init} -> {args.redshift}) "
@@ -108,7 +113,8 @@ def main():
                 jax.random.PRNGKey(seed), grid, cosmo,
                 redshift_init=args.redshift_init, keep_velocities=False,
                 lattice_B=None if args.no_lattice else args.lattice_B,
-                gradient=args.gradient, fft_precision=args.fft_precision)
+                gradient=args.gradient, fft_precision=args.fft_precision,
+                fuse_force_gather=args.fuse)
             return jnp.std(d)
 
         float(one(10_000))  # warm the no-diagnostics program
