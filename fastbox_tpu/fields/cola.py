@@ -263,13 +263,33 @@ def _fuse_max_band(fuse_force_gather) -> int:
     return int(fuse_force_gather)
 
 
-@lru_cache(maxsize=8)
 def _build_evolve(grid: GridSpec, force_factor: int, lattice_B: int | None,
                   dtype_name: str, keep_velocities: bool,
                   diagnostics: bool = False, lattice_impl: str = "xla",
                   gradient: str = "spectral",
                   fft_precision: str | None = None,
                   fuse_force_gather: int = 0):
+    """Compile-once COLA evolution program for a static configuration.
+
+    ``fuse_force_gather`` is normalised through :func:`_fuse_max_band`
+    BEFORE the cache: the knob used to be a bool, and ``True`` hashes
+    equal to ``1`` under ``lru_cache``, so a legacy bool caller would
+    otherwise silently share (and mean) the band<=1 entry.
+    """
+    return _build_evolve_cached(grid, force_factor, lattice_B, dtype_name,
+                                keep_velocities, diagnostics, lattice_impl,
+                                gradient, fft_precision,
+                                _fuse_max_band(fuse_force_gather))
+
+
+@lru_cache(maxsize=8)
+def _build_evolve_cached(grid: GridSpec, force_factor: int,
+                         lattice_B: int | None,
+                         dtype_name: str, keep_velocities: bool,
+                         diagnostics: bool = False, lattice_impl: str = "xla",
+                         gradient: str = "spectral",
+                         fft_precision: str | None = None,
+                         fuse_force_gather: int = 0):
     """Compile-once COLA evolution program for a static configuration.
 
     Cached on the static knobs only: the cosmology enters via the runtime

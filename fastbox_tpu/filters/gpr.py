@@ -130,7 +130,7 @@ def _fit_gpr(x, bounds, kinds: tuple[str, ...], nsteps: int = 500,
 
 def gpr_filter(field, kernels=None, return_filter: bool = False,
                opt_messages: bool = False, opt_num_restarts: int = 0,
-               nsteps: int = 500, key=None):
+               nsteps: int = 500, key=None, fixed_params=None):
     """GPR foreground clean of a (Nx, Ny, Nfreq) datacube (filters.py:494-595).
 
     Parameters:
@@ -144,6 +144,13 @@ def gpr_filter(field, kernels=None, return_filter: bool = False,
             deterministic one (GPy ``optimize_restarts`` analog).
         nsteps: Adam steps per start.
         key: PRNG key for restart initialisation (seeded default).
+        fixed_params: optional flat sequence ``[var_1, ls_1, ...,
+            noise_var]`` of ABSOLUTE hyperparameters.  When given, no
+            optimisation runs: the posterior mean is evaluated at exactly
+            these values (GPy's ``param.fix()`` analog) — this is also the
+            closed-form oracle hook used by the tests, since the GP
+            posterior mean with fixed hyperparameters is exact linear
+            algebra with no optimiser in the loop.
 
     Returns the residual ``x - posterior_mean_fg`` reshaped to the cube
     (and optionally the fitted hyperparameters).
@@ -175,10 +182,17 @@ def gpr_filter(field, kernels=None, return_filter: bool = False,
     bounds_rows.append((1e-8 * var, 1e2 * var))   # noise variance
     bounds = jnp.asarray(bounds_rows, dtype=x.dtype)
 
-    theta, _ = _fit_gpr(x, bounds, kinds, nsteps=nsteps,
-                        nstarts=1 + int(opt_num_restarts), key=key)
-    params = [float(_bounded(theta[i], bounds[i, 0], bounds[i, 1]))
-              for i in range(bounds.shape[0])]
+    if fixed_params is not None:
+        params = [float(v) for v in fixed_params]
+        if len(params) != 2 * len(kinds) + 1:
+            raise ValueError(
+                f"fixed_params needs 2*nkernels+1 = {2 * len(kinds) + 1} "
+                f"values [var_i, ls_i, ..., noise_var]; got {len(params)}")
+    else:
+        theta, _ = _fit_gpr(x, bounds, kinds, nsteps=nsteps,
+                            nstarts=1 + int(opt_num_restarts), key=key)
+        params = [float(_bounded(theta[i], bounds[i, 0], bounds[i, 1]))
+                  for i in range(bounds.shape[0])]
 
     nfreq = shape[-1]
     nu = jnp.linspace(0.0, 1.0, nfreq, dtype=x.dtype)

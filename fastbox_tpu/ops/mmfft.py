@@ -50,15 +50,38 @@ _PREC = getattr(jax.lax.Precision,
                 _os.environ.get("FASTBOX_MM_PRECISION", "HIGHEST"))
 
 
+class _Split:
+    """Sentinel precision: compensated split-f32 DFT weights.
+
+    The DFT/twiddle matrices are Dekker-split into an (hi, lo) f32 pair
+    of their float64 values (hi = f32(W), lo = f32(W - hi), exact), and
+    every weight contraction runs as TWO einsums at HIGHEST summed in
+    f32 — the bf16x12 product class the MXU can express.  This removes
+    the f32 *representation* error of the weights (the hi+lo pair
+    carries ~48 mantissa bits); what remains is the f32 accumulation
+    error of the MXU itself.  ~2x the HIGHEST matmul cost.  Measured
+    isolation + end-to-end numbers: docs/tpu_timings.md and
+    TRUTH_GATE_256.json (round 4).
+    """
+
+    def __repr__(self):  # pragma: no cover - debug nicety
+        return "Precision.SPLIT"
+
+
+SPLIT = _Split()
+
+
 def set_precision(name: str):
     """Set the einsum precision for all matmul DFT stages.
 
-    ``name`` is one of "DEFAULT", "HIGH", "HIGHEST".  Affects traces made
-    after the call; jitted programs already compiled keep their old
-    precision (use ``jax.clear_caches()`` to force a re-trace).
+    ``name`` is one of "DEFAULT", "HIGH", "HIGHEST", "SPLIT".  Affects
+    traces made after the call; jitted programs already compiled keep
+    their old precision (use ``jax.clear_caches()`` to force a
+    re-trace).
     """
     global _PREC
-    _PREC = getattr(jax.lax.Precision, name)
+    _PREC = SPLIT if name.upper() == "SPLIT" \
+        else getattr(jax.lax.Precision, name)
 
 
 def _prec(precision):
@@ -66,8 +89,45 @@ def _prec(precision):
     if precision is None:
         return _PREC
     if isinstance(precision, str):
+        if precision.upper() == "SPLIT":
+            return SPLIT
         return getattr(jax.lax.Precision, precision)
     return precision
+
+
+def _split_pair(W64):
+    """Dekker-split a float64/complex128 host matrix into f32 (hi, lo).
+
+    hi = round-to-f32(W); lo = round-to-f32(W - hi).  The subtraction is
+    exact in f64, so hi + lo reproduces W to ~2^-48 relative.
+    """
+    if np.iscomplexobj(W64):
+        cdt = np.complex64
+        hi = W64.astype(cdt)
+        lo = (W64 - hi.astype(np.complex128)).astype(cdt)
+    else:
+        hi = W64.astype(np.float32)
+        lo = (W64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _w_einsum(eq, x, W64, prec, as_complex=False):
+    """Weight contraction honouring the SPLIT sentinel.
+
+    ``W64`` is the HOST f64/c128 master matrix; non-split paths contract
+    against its f32/c64 rounding at ``prec``, the split path runs two
+    HIGHEST einsums against the Dekker pair and sums in f32.
+    """
+    conv = _as_complex if as_complex else jnp.asarray
+    if prec is SPLIT:
+        hi, lo = _split_pair(W64)
+        return (jnp.einsum(eq, x, conv(hi), precision=_HIGHEST)
+                + jnp.einsum(eq, x, conv(lo), precision=_HIGHEST))
+    dt = np.complex64 if np.iscomplexobj(W64) else np.float32
+    return jnp.einsum(eq, x, conv(W64.astype(dt)), precision=prec)
 
 
 # Per-length stage-split overrides for empirical tuning, e.g.
@@ -223,23 +283,38 @@ def _as_complex(W):
 
 def _dft_last(x, n: int, sign: int, precision=None):
     """DFT along the last axis via the matmul ladder (recursive radix)."""
-    cdtype = "complex128" if x.dtype == jnp.complex128 else "complex64"
-    mats = _stage_mats(n, sign, cdtype, _factor(n))
+    is64 = x.dtype == jnp.complex128
     prec = _prec(precision)
+    if prec is SPLIT and is64:
+        prec = _HIGHEST        # f64 inputs already carry full weights
+    split = prec is SPLIT
+    # SPLIT contracts against Dekker pairs of the f64 masters, so fetch
+    # the complex128 ladder (the DATA stays complex64 on device).
+    cdtype = "complex128" if (is64 or split) else "complex64"
+    mats = _stage_mats(n, sign, cdtype, _factor(n))
+
+    def wmul(eq, x, W):
+        if split:
+            hi, lo = _split_pair(W)
+            return (jnp.einsum(eq, x, _as_complex(hi), precision=_HIGHEST)
+                    + jnp.einsum(eq, x, _as_complex(lo), precision=_HIGHEST))
+        return jnp.einsum(eq, x, _as_complex(W), precision=prec)
 
     def rec(x, level):
         n1, n2, W1, T = mats[level]
-        W1 = _as_complex(W1)
         if n2 == 1:
-            return jnp.einsum("...a,ab->...b", x, W1, precision=prec)
+            return wmul("...a,ab->...b", x, W1)
         xs = x.reshape(x.shape[:-1] + (n1, n2))
-        A = jnp.einsum("...ab,ac->...cb", xs, W1, precision=prec)
-        B = A * _as_complex(T)          # broadcast over leading dims
+        A = wmul("...ab,ac->...cb", xs, W1)
+        # Twiddles are elementwise (one rounding each, not amplified by
+        # a length-n accumulation) — a single c64 multiply suffices even
+        # under SPLIT.
+        B = A * _as_complex(T.astype(np.complex64) if split else T)
         X = rec(B, level + 1)           # shape (..., k1, k2)
         X = jnp.swapaxes(X, -1, -2)     # k = k2*n1 + k1
         return X.reshape(x.shape[:-1] + (n1 * n2,))
 
-    return rec(x.astype(cdtype), 0)
+    return rec(x.astype("complex128" if is64 else "complex64"), 0)
 
 
 def fft(x, axis: int = -1, precision=None):
@@ -362,12 +437,19 @@ def rfftn_any(x, axes, precision=None):
     al = axes[-1]
     n = x.shape[al]
     rdt = "float64" if x.dtype == jnp.float64 else "float32"
-    Cr, Ci = _r2c_mats(n, rdt)
     xm = jnp.moveaxis(x, al, -1)
     prec = _prec(precision)
-    cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=prec)
-    ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=prec)
-    if rdt == "float32" and _pallas_dft_ok(cr.shape, axes):
+    if prec is SPLIT and rdt == "float32":
+        Cr64, Ci64 = _r2c_mats(n, "float64")
+        cr = _w_einsum("...x,xk->...k", xm, Cr64, SPLIT)
+        ci = _w_einsum("...x,xk->...k", xm, Ci64, SPLIT)
+    else:
+        p = _HIGHEST if prec is SPLIT else prec
+        Cr, Ci = _r2c_mats(n, rdt)
+        cr = jnp.einsum("...x,xk->...k", xm, Cr, precision=p)
+        ci = jnp.einsum("...x,xk->...k", xm, Ci, precision=p)
+    if rdt == "float32" and prec is not SPLIT \
+            and _pallas_dft_ok(cr.shape, axes):
         for ax in axes[:-1]:
             cr, ci = _dft_pair_leading(cr, ci, ax, -1, False, prec)
         return jax.lax.complex(cr, ci)
@@ -390,8 +472,12 @@ def irfftn_any(a_half, n_last: int, axes, precision=None):
     rdt = "float64" if a_half.dtype == jnp.complex128 else "float32"
     assert a_half.shape[al] == n_last // 2 + 1, (a_half.shape, n_last)
     prec = _prec(precision)
-    Er, Ei = _c2r_mats(n_last, rdt)
-    if rdt == "float32" and _pallas_dft_ok(a_half.shape, axes):
+    split = prec is SPLIT and rdt == "float32"
+    if prec is SPLIT and not split:
+        prec = _HIGHEST
+    Er, Ei = _c2r_mats(n_last, "float64" if split else rdt)
+    if rdt == "float32" and not split \
+            and _pallas_dft_ok(a_half.shape, axes):
         ar, ai = jnp.real(a_half), jnp.imag(a_half)
         for ax in axes[:-1]:
             ar, ai = _dft_pair_leading(ar, ai, ax, +1, True, prec)
@@ -400,8 +486,12 @@ def irfftn_any(a_half, n_last: int, axes, precision=None):
     for ax in axes[:-1]:
         a_half = ifft(a_half, ax, precision=precision)
     am = jnp.moveaxis(a_half, al, -1)
-    y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=prec)
-         - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=prec))
+    if split:
+        y = (_w_einsum("...k,kx->...x", jnp.real(am), Er, SPLIT)
+             - _w_einsum("...k,kx->...x", jnp.imag(am), Ei, SPLIT))
+    else:
+        y = (jnp.einsum("...k,kx->...x", jnp.real(am), Er, precision=prec)
+             - jnp.einsum("...k,kx->...x", jnp.imag(am), Ei, precision=prec))
     return jnp.moveaxis(y, -1, al)
 
 

@@ -122,8 +122,18 @@ def main():
 
     grid = GridSpec.create(box_scale=(1e3,) * 3, nsamp=128, redshift=0.0)
     ones = jnp.ones((128, 128, 65), jnp.float32)
-    half = colored_half_noise(jax.random.PRNGKey(3), grid, ones, jnp.float32)
-    hv = np.asarray(half)
+
+    # Materialise via a (real, imag) pair: a direct complex host transfer
+    # is UNIMPLEMENTED on the axon backend (the round-3 campaign crashed
+    # exactly here with 'UNIMPLEMENTED: TPU backend error' on np.asarray
+    # of the complex output — the kernel itself was fine).
+    @jax.jit
+    def _draw_parts(key):
+        h = colored_half_noise(key, grid, ones, jnp.float32)
+        return jnp.real(h), jnp.imag(h)
+
+    hr, hi = _draw_parts(jax.random.PRNGKey(3))
+    hv = np.asarray(hr) + 1j * np.asarray(hi)
     # kz=0 plane must be exactly 2D-Hermitian (conjugate at -i, -j)
     pl0 = hv[:, :, 0]
     rev = np.roll(np.flip(np.roll(np.flip(pl0, 0), 1, 0), 1), 1, 1)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracle
 from fastbox_tpu import filters
@@ -193,6 +194,52 @@ def test_gpr_filter_custom_kernels_and_restarts(rng):
 
     with pytest.raises(TypeError):
         filters.gpr_filter(jnp.asarray(cube), kernels=["rbf"])
+
+
+def test_gpr_filter_closed_form_oracle(rng):
+    """Pin the GPR *math*, not just behaviour: with FIXED hyperparameters
+    the posterior mean is exact linear algebra, so compare gpr_filter
+    against an independent numpy f64 GP posterior at 1e-8.
+
+    Model (reference filters.py:553-589): frequencies on [0,1], total
+    covariance K_tot = K_fg + K_sig + noise*I, foreground posterior mean
+    m_fg = K_fg K_tot^{-1} x (include_likelihood=False), cleaned = x - m_fg
+    on the per-pixel mean-subtracted (Nfreq, Npix) matrix.
+    """
+    n, nfreq = 5, 20
+    cube = _mock_cube(rng, n=n, nfreq=nfreq).astype(np.float64)
+    var_fg, ls_fg = 2.5, 0.4
+    var_sig, ls_sig = 1e-3, 5e-3
+    noise_var = 1e-2
+    specs = [
+        filters.KernelSpec("rbf", (1e-8, 1e8)),
+        filters.KernelSpec("exponential", (1e-8, 1e8), (1e-6, 1e2)),
+    ]
+    cleaned, params = filters.gpr_filter(
+        jnp.asarray(cube), kernels=specs,
+        fixed_params=[var_fg, ls_fg, var_sig, ls_sig, noise_var],
+        return_filter=True)
+    assert params["rbf_var"] == var_fg and params["noise_var"] == noise_var
+
+    # Independent numpy oracle
+    d = cube.reshape(-1, nfreq).T
+    x = d - d.mean(axis=1, keepdims=True)
+    nu = np.linspace(0.0, 1.0, nfreq)
+    dist = np.abs(nu[:, None] - nu[None, :])
+    K_fg = var_fg * np.exp(-0.5 * (dist / ls_fg) ** 2)
+    K_sig = var_sig * np.exp(-dist / ls_sig)
+    K_tot = K_fg + K_sig + noise_var * np.eye(nfreq)
+    m_fg = K_fg @ np.linalg.solve(K_tot, x)
+    want = (x - m_fg).T.reshape(cube.shape)
+    assert np.allclose(np.asarray(cleaned), want, rtol=1e-8, atol=1e-10)
+
+    # The posterior mean must capture essentially all of the smooth FG
+    # (sanity that the fixture actually exercises the subtraction)
+    assert np.sqrt(np.mean(want ** 2)) < 0.5 * np.sqrt(np.mean(x ** 2))
+
+    with pytest.raises(ValueError):
+        filters.gpr_filter(jnp.asarray(cube), kernels=specs,
+                           fixed_params=[1.0, 2.0])
 
 
 def test_fastica_unmixes_known_sources(rng):

@@ -165,5 +165,47 @@ def test_set_precision_roundtrips():
     try:
         mmfft.set_precision("HIGH")
         assert mmfft._PREC == jax.lax.Precision.HIGH
+        mmfft.set_precision("SPLIT")
+        assert mmfft._PREC is mmfft.SPLIT
     finally:
         mmfft._PREC = prev
+
+
+def test_split_precision_oracle(rng):
+    """SPLIT (Dekker-split weights, two-einsum HIGHEST contractions) must
+    match numpy at least as tightly as the plain f32 path on every route:
+    rfftn3/irfftn3, C2C fft/ifft, and the precision-string plumbing."""
+    cube = rng.standard_normal((24, 20, 16)).astype(np.float32)
+    ah = np.fft.rfftn(cube.astype(np.float64))
+    got = np.asarray(mmfft.rfftn_any(jnp.asarray(cube), (0, 1, 2),
+                                     precision="SPLIT"))
+    assert got.dtype == np.complex64
+    assert np.abs(got - ah).max() / np.abs(ah).max() < 1e-5
+
+    back = np.asarray(mmfft.irfftn_any(jnp.asarray(ah.astype(np.complex64)),
+                                       16, (0, 1, 2), precision="SPLIT"))
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, cube, atol=5e-6)
+
+    c = (rng.standard_normal(48) + 1j * rng.standard_normal(48)
+         ).astype(np.complex64)
+    got1 = np.asarray(mmfft.fft(jnp.asarray(c), precision="SPLIT"))
+    ref1 = np.fft.fft(c)
+    assert np.abs(got1 - ref1).max() / np.abs(ref1).max() < 1e-5
+
+    # f64 inputs degrade SPLIT to HIGHEST (weights already full precision)
+    c64 = c.astype(np.complex128)
+    got2 = np.asarray(mmfft.fft(jnp.asarray(c64), precision="SPLIT"))
+    np.testing.assert_allclose(got2, np.fft.fft(c64), rtol=1e-12,
+                               atol=1e-12 * np.abs(ref1).max())
+
+
+def test_split_pair_exact():
+    """hi + lo reconstructs the f64 master to ~2^-48 relative."""
+    W = np.exp(-2j * np.pi * np.outer(np.arange(64), np.arange(64)) / 64)
+    hi, lo = mmfft._split_pair(W)
+    err = np.abs((hi.astype(np.complex128) + lo.astype(np.complex128)) - W)
+    assert err.max() < 1e-13
+    hr, lr = mmfft._split_pair(W.real)
+    errr = np.abs((hr.astype(np.float64) + lr.astype(np.float64)) - W.real)
+    assert errr.max() < 1e-13
