@@ -162,6 +162,12 @@ class PipelineConfig:
     # noise_scheme='rows' (mesh-independent realisations need the
     # row-keyed threefry draw).
     pallas_draw: str = "off"
+    # Diagnostic: also return the intermediate cubes (delta_x, vel_z,
+    # delta_s, fg_cube, data, cleaned) so cross-platform per-stage
+    # divergence can be measured (scripts/probe_stage_diff.py).  Gate /
+    # probe use only — the extra outputs force materialisation and cost
+    # ~30 s of tunnel download at 256^3.
+    debug_stages: bool = False
     # Bits->normal transform for the threefry density half-spectrum draw
     # (step 1, 'half' scheme only): 'erfinv' (jax.random.normal, the
     # stream every committed oracle expectation uses) or 'box_muller'
@@ -472,13 +478,22 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         pk_err = (jnp.sqrt(var) / jnp.sqrt(cnt))[1:]
         pk_dens = (s2 / cnt)[1:]
 
-        return {
+        out = {
             "k": jnp.asarray(kcent[1:], dtype),
             "pk_cleaned": pk_clean,
             "pk_cleaned_err": pk_err,
             "pk_density": pk_dens,
             "sigma_data": jnp.std(data),
         }
+        if config.debug_stages:
+            out.update(
+                delta_x=delta_x, vel_z=vel_z, delta_s=delta_s,
+                data=data, cleaned=cleaned,
+                ck_power=p_clean,
+            )
+            if config.include_foregrounds:
+                out["fg_cube"] = fg_cube
+        return out
 
     return fn_inner, (amp_half, bin_idx_arg)
 

@@ -189,6 +189,16 @@ def cmd_check(args):
         "vel_high_all_highest": (dict(mm3d_precision="HIGHEST",
                                       vel_precision="HIGH"),
                                  True, None, False),
+        # Compensated split-f32 weights (Dekker hi+lo pair, two HIGHEST
+        # einsums) on the three big 3D transforms — the round-4 accuracy
+        # experiment: removes the f32 weight-representation error, leaving
+        # only the MXU's f32 accumulation error.  ~2x HIGHEST matmul cost.
+        "mm3d_split": (dict(mm3d_precision="SPLIT",
+                            vel_precision="DEFAULT"), True, None, False),
+        # SPLIT everywhere (big 3D + every module einsum): isolates how
+        # much of the residual comes from the non-3D transforms.
+        "all_split": (dict(mm3d_precision="SPLIT",
+                           vel_precision="SPLIT"), True, "SPLIT", False),
         "pallas_dft": (dict(mm3d_precision="HIGHEST"), True, None, True),
         # Box-Muller density draw on top of the shipping round-3 stack
         # (HIGH big-3D + DEFAULT velocity inverse): a different threefry
