@@ -54,7 +54,9 @@ def capture(args):
         dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
         redshift=0.8)
     cfg = pl.PipelineConfig(dtype=args.dtype, draw_dtype="float32",
-                            threefry_noise=True, debug_stages=True)
+                            threefry_noise=True, debug_stages=True,
+                            mm3d_precision=args.mm3d_precision,
+                            vel_precision=args.vel_precision)
     fn = pl.make_pipeline(grid, cosmology, cfg)
     out = fn(jax.random.PRNGKey(args.key))
     save = {k: np.asarray(v) for k, v in out.items() if k in STAGES}
@@ -101,6 +103,8 @@ def main():
                      default="float32")
     cap.add_argument("--nsamp", type=int, default=256)
     cap.add_argument("--key", type=int, default=1000)
+    cap.add_argument("--mm3d-precision", default="HIGH")
+    cap.add_argument("--vel-precision", default="DEFAULT")
     cap.add_argument("--out", required=True)
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("paths", nargs="+",
