@@ -132,6 +132,34 @@ class ForegroundModel:
             ffac = ffac_base[None, None, :] ** spectral_idx[:, :, None]
         return amps[:, :, None] * ffac
 
+    @staticmethod
+    @jax.jit
+    def construct_cube_smallalpha_fn(amps, dalpha, ffac_mean, logf):
+        """cube = amps * ffac_mean(nu) * exp(dalpha * logf(nu)), for
+        |dalpha * logf| << 1 — the accurate f32 form of construct_cube_fn.
+
+        Why this exists (round-4 truth-gate finding, 2026-08-20): the
+        cleaned P(k)'s low bins are dominated by the FOREGROUND cube's
+        pixel-decorrelated f32 rounding — swapping only fg_cube into
+        otherwise-f64 data reproduces +1.64e-2 of the +1.77e-2 bin-1
+        error at 256^3/key 1001 (scripts/probe_stage_diff.py).  The
+        generic ``(nu/nu_ref)**alpha`` evaluates exp(alpha*log(nu/ref))
+        in f32: the log's rounding is amplified by |alpha*log| ~ 3.7,
+        giving ~4e-7 relative error per VOXEL (decorrelated between
+        pixels, so the PCA clean cannot remove it; it leaks straight
+        into the cleaned spectrum).  Splitting alpha = mean + dalpha
+        makes every large factor PIXEL-COMMON (absorbed into the
+        empirical PCA subspace, harmless) and evaluates the tiny
+        pixel-varying part exp(u), |u| <~ 2e-3, by a cubic Taylor
+        polynomial — exact to 4e-13, leaving ~1 ulp of decorrelated
+        rounding.  Callers precompute ffac_mean=(nu/ref)^mean and
+        logf=log(nu/ref) in f64 on host.
+        """
+        u = dalpha[:, :, None] * logf[None, None, :]
+        one_sixth = jnp.asarray(1.0 / 6.0, u.dtype)
+        expu = 1.0 + u * (1.0 + u * (0.5 + u * one_sixth))
+        return amps[:, :, None] * (ffac_mean[None, None, :] * expu)
+
     # -- reference-API methods ---------------------------------------
     def realise_foreground_amp(self, amp, beta, monopole, smoothing_scale=None,
                                redshift=None):

@@ -135,6 +135,38 @@ def _interp_sorted_banded(ss, vv, ztarget, w: int):
     return out
 
 
+def _interp_full_chunked(ss, vv, ztarget):
+    """Exact telescoping interpolation over all segments, chunked over LOS.
+
+    The naive broadcast materialises (M, C-1, T); at 512^3 in f64 that is
+    ~550 GiB, which OOMed the CPU truth run (lax.cond allocates the max
+    over branches, so even never-executed fallbacks must be bounded).
+    ``lax.map`` over row blocks caps the temp at ~1 GiB while computing
+    the identical result.
+    """
+    M, C = ss.shape
+    T = int(ztarget.shape[0])
+    rows = int(max(1, min(M, (2 ** 27) // max(C * T, 1))))
+    pad = (-M) % rows
+    ssp = jnp.pad(ss, ((0, pad), (0, 0)))
+    vvp = jnp.pad(vv, ((0, pad), (0, 0)))
+
+    def blk(args):
+        s_, v_ = args
+        dv_ = v_[:, 1:] - v_[:, :-1]
+        ds_ = s_[:, 1:] - s_[:, :-1]
+        safe = jnp.where(ds_ > 0.0, ds_, 1.0)
+        fr = (ztarget[None, None, :] - s_[:, :-1, None]) / safe[:, :, None]
+        fr = jnp.where(ds_[:, :, None] > 0.0, fr,
+                       (ztarget[None, None, :]
+                        >= s_[:, :-1, None]).astype(v_.dtype))
+        return v_[:, :1] + jnp.sum(dv_[:, :, None]
+                                   * jnp.clip(fr, 0.0, 1.0), axis=1)
+
+    out = lax.map(blk, (ssp.reshape(-1, rows, C), vvp.reshape(-1, rows, C)))
+    return out.reshape(-1, T)[:M]
+
+
 def remap_los_batched(vals, s, ztarget, fill, method: str = "linear",
                       band: int = 4, ztarget_np=None, fused: bool = True,
                       s_unwrapped=None):
@@ -247,15 +279,7 @@ def remap_los_batched(vals, s, ztarget, fill, method: str = "linear",
                 # of v_0 / v_last equivalence by re-applying below anyway.
                 return interp_sorted_pallas(ss_, vv_, ztarget, fill,
                                             interpret=_INTERPRET)
-            dv_ = vv_[:, 1:] - vv_[:, :-1]
-            ds_ = ss_[:, 1:] - ss_[:, :-1]
-            safe = jnp.where(ds_ > 0.0, ds_, 1.0)
-            fr = (ztarget[None, None, :] - ss_[:, :-1, None]) / safe[:, :, None]
-            fr = jnp.where(ds_[:, :, None] > 0.0, fr,
-                           (ztarget[None, None, :]
-                            >= ss_[:, :-1, None]).astype(vv_.dtype))
-            return vv_[:, :1] + jnp.sum(dv_[:, :, None]
-                                        * jnp.clip(fr, 0.0, 1.0), axis=1)
+            return _interp_full_chunked(ss_, vv_, ztarget)
 
         out = lax.cond(maxdisp <= band * dz, banded, full, (ss, vv))
         inside = ((ztarget[None, :] >= ss[:, :1])
@@ -271,14 +295,7 @@ def remap_los_batched(vals, s, ztarget, fill, method: str = "linear",
     dv = vv[:, 1:] - vv[:, :-1]          # (M, C-1)
 
     if method == "linear":
-        ds = ss[:, 1:] - ss[:, :-1]
-        # Duplicate nodes (ds == 0): step transition at the node
-        safe_ds = jnp.where(ds > 0.0, ds, 1.0)
-        frac = (ztarget[None, None, :] - ss[:, :-1, None]) / safe_ds[:, :, None]
-        frac = jnp.where(ds[:, :, None] > 0.0, frac,
-                         (ztarget[None, None, :] >= ss[:, :-1, None]).astype(vv.dtype))
-        w = jnp.clip(frac, 0.0, 1.0)
-        out = vv[:, :1] + jnp.sum(dv[:, :, None] * w, axis=1)
+        out = _interp_full_chunked(ss, vv, ztarget)
         inside = ((ztarget[None, :] >= ss[:, :1])
                   & (ztarget[None, :] <= ss[:, -1:]))
         return jnp.where(inside, out, fill[:, None])

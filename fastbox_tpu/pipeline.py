@@ -162,6 +162,16 @@ class PipelineConfig:
     # noise_scheme='rows' (mesh-independent realisations need the
     # row-keyed threefry draw).
     pallas_draw: str = "off"
+    # Foreground spectral-cube evaluation: 'poly' (default) splits
+    # alpha = spec_idx_mean + dalpha and evaluates the pixel-varying
+    # factor exp(dalpha*log(nu/ref)) by a cubic Taylor polynomial with
+    # the pixel-common factors precomputed in f64 — see
+    # ForegroundModel.construct_cube_smallalpha_fn for the truth-gate
+    # finding that motivates it (the generic f32 pow's voxel-decorrelated
+    # rounding is THE dominant cleaned-P(k) error at 256^3).  Falls back
+    # to 'pow' automatically when the small-|dalpha*logf| bound does not
+    # hold.  'pow' forces the reference-style generic power law.
+    fg_spectral: str = "poly"
     # Diagnostic: also return the intermediate cubes (delta_x, vel_z,
     # delta_s, fg_cube, data, cleaned) so cross-platform per-stage
     # divergence can be measured (scripts/probe_stage_diff.py).  Gate /
@@ -217,6 +227,21 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     )
     freqs_j = jnp.asarray(freqs.copy(), dtype=dtype)
     sigma_j = jnp.asarray(sigma_rms, dtype=dtype)
+
+    # Foreground spectral factors, precomputed in f64 on host (see
+    # PipelineConfig.fg_spectral / construct_cube_smallalpha_fn).  The
+    # poly path needs |dalpha * logf| << 1; with dalpha ~ N(0, std^2)
+    # smoothed, an 8-sigma bound at 0.01 keeps the cubic's truncation
+    # error below 4e-10 with astronomically safe margin.
+    if config.fg_spectral not in ("poly", "pow"):
+        raise ValueError(f"Unknown fg_spectral '{config.fg_spectral}'")
+    _logf = np.log(np.asarray(freqs, np.float64) / config.freq_ref)
+    use_fg_poly = (config.fg_spectral == "poly"
+                   and 8.0 * config.spec_idx_std * np.abs(_logf).max() < 1e-2)
+    ffac_mean_j = jnp.asarray(
+        np.power(np.asarray(freqs, np.float64) / config.freq_ref,
+                 config.spec_idx_mean), dtype)
+    logf_j = jnp.asarray(_logf, dtype)
 
     pk_fn = cosmology.pk_lin if config.linear_pk else cosmology.pk_nl
 
@@ -401,11 +426,22 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                 white2d, grid, cosmology.chi, config.fg_amp, config.fg_beta,
                 config.fg_monopole, fg_sigma_pix,
             )
-            alpha_map = config.spec_idx_mean + config.spec_idx_std * alpha_w
-            alpha_map = gaussian_smooth_wrap(alpha_map, alpha_sigma_pix)
-            fg_cube = ForegroundModel.construct_cube_fn(
-                fg_map, alpha_map, freqs_j, config.freq_ref
-            )
+            if use_fg_poly:
+                # Smooth only the tiny pixel-varying part (linear op:
+                # algebraically identical to smoothing mean + std*w) and
+                # keep every large spectral factor pixel-common.
+                dalpha = config.spec_idx_std * gaussian_smooth_wrap(
+                    alpha_w, alpha_sigma_pix)
+                alpha_map = config.spec_idx_mean + dalpha
+                fg_cube = ForegroundModel.construct_cube_smallalpha_fn(
+                    fg_map, dalpha, ffac_mean_j, logf_j)
+            else:
+                alpha_map = (config.spec_idx_mean
+                             + config.spec_idx_std * alpha_w)
+                alpha_map = gaussian_smooth_wrap(alpha_map, alpha_sigma_pix)
+                fg_cube = ForegroundModel.construct_cube_fn(
+                    fg_map, alpha_map, freqs_j, config.freq_ref
+                )
             data = data + fg_cube
 
         # (7) radiometer noise (fused PRNG kernel on TPU)
@@ -493,6 +529,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             )
             if config.include_foregrounds:
                 out["fg_cube"] = fg_cube
+                out["fg_map"] = fg_map
+                out["alpha_map"] = alpha_map
         return out
 
     return fn_inner, (amp_half, bin_idx_arg)

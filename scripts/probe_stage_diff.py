@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-STAGES = ["delta_x", "vel_z", "delta_s", "fg_cube", "data", "cleaned",
-          "ck_power", "pk_cleaned", "pk_density"]
+STAGES = ["delta_x", "vel_z", "delta_s", "fg_map", "alpha_map", "fg_cube",
+          "data", "cleaned", "ck_power", "pk_cleaned", "pk_density"]
 
 
 def capture(args):
