@@ -126,6 +126,22 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     al_kern = np.fft.fft(
         _scipy_gaussian_kernel1d(config.spec_idx_smoothing_deg / dang, N))
 
+    # Foreground spectral factors (config parity with pipeline.py's
+    # fg_spectral='poly' path): the generic f32 (nu/ref)**alpha carries
+    # pixel-decorrelated exp/log rounding that dominates the cleaned
+    # low bins (TRUTH_GATE_256.json round 4: 1.77e-2 -> 1.26e-3).  Keep
+    # the large pixel-common factors in host f64 and evaluate only the
+    # tiny pixel-varying exp(dalpha*logf) by a cubic Taylor polynomial.
+    if config.fg_spectral not in ("poly", "pow"):
+        raise ValueError(f"Unknown fg_spectral '{config.fg_spectral}'")
+    _logf = np.log(np.asarray(freqs, np.float64) / config.freq_ref)
+    use_fg_poly = (config.fg_spectral == "poly"
+                   and 8.0 * config.spec_idx_std * np.abs(_logf).max() < 1e-2)
+    ffac_mean_c = jnp.asarray(
+        np.power(np.asarray(freqs, np.float64) / config.freq_ref,
+                 config.spec_idx_mean), dtype)
+    logf_c = jnp.asarray(_logf, dtype)
+
     kbins = default_kbins(grid, config.nbins)
     nb = kbins.size
     _edges = np.concatenate([[0.0], kbins])
@@ -224,11 +240,18 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
                 + dtype.type(config.fg_monopole)
             alpha_k = pfft2_local(
                 (dtype.type(config.spec_idx_std) * alpha_w).astype(cdtype), "space")
-            alpha = pifft2_local(
+            dalpha = pifft2_local(
                 alpha_k * alk_loc[None, :, None] * jnp.asarray(al_kern)[None, None, :],
-                "space").real.astype(dtype) + dtype.type(config.spec_idx_mean)
-            ffac = (freqs_c[None, None, None, :] / dtype.type(config.freq_ref)
-                    ) ** alpha[..., None]
+                "space").real.astype(dtype)
+            if use_fg_poly:
+                u = dalpha[..., None] * logf_c[None, None, None, :]
+                one_sixth = jnp.asarray(1.0 / 6.0, dtype)
+                expu = 1.0 + u * (1.0 + u * (0.5 + u * one_sixth))
+                ffac = ffac_mean_c[None, None, None, :] * expu
+            else:
+                alpha = dalpha + dtype.type(config.spec_idx_mean)
+                ffac = (freqs_c[None, None, None, :]
+                        / dtype.type(config.freq_ref)) ** alpha[..., None]
             data = data + fg_x[..., None] * ffac
 
         # --- (6) radiometer noise ------------------------------------
