@@ -102,11 +102,12 @@ class PipelineConfig:
     # small 2D foreground transforms always keep the module default: the
     # FG cube is 100-1000x brighter than the signal, so ITS HIGH-tier
     # error is signal-scale after PCA — the all-HIGH mode measured 2.1e-2
-    # vs the f64 oracle where the incumbent sits at 6.4e-3
-    # (TRUTH_GATE.json).  "HIGH" *here* is truth-gated admissible: 6.9e-3
-    # vs the oracle, the same class as HIGHEST's 6.4e-3 against an f32
-    # conditioning floor of 2.9e-3 (scripts/truth_gate.py, 2026-08-19) —
-    # so HIGH is the default for the ~2x cheaper big transforms.
+    # vs the f64 oracle where the incumbent sat at 6.4e-3
+    # (TRUTH_GATE.json, 128^3).  At the bench size with
+    # fg_spectral='poly' (TRUTH_GATE_256.json, round 4): HIGH 1.261e-3
+    # vs HIGHEST 1.355e-3 — statistically identical, the residual is the
+    # bf16 velocity inverse (see vel_precision), so the ~2x cheaper HIGH
+    # is the default for the big transforms.
     mm3d_precision: str | None = "HIGH"
     # Separate einsum precision for the velocity-field inverse transform
     # ONLY (None inherits mm3d_precision).  The velocity cube enters the
@@ -114,13 +115,12 @@ class PipelineConfig:
     # per-transform rounding error epsilon perturbs voxel positions by
     # epsilon * |v|/H — second-order in the remapped density — unlike the
     # delta_x inverse, whose error is first-order in the field itself.
-    # "DEFAULT" (single-pass bf16) is truth-gated AT THE BENCH SIZE
-    # (TRUTH_GATE_256.json, 2026-08-19): cleaned-P(k) 1.45e-2 vs the f64
-    # oracle where the all-HIGHEST incumbent sits at 1.29e-2 and
-    # mm3d-HIGH at 1.28e-2 — the same accuracy class, with matching
-    # signed low-bin means (no new systematic).  Saves one of the two
-    # 6x/3x-pass bf16 inverse transforms; set None/HIGH/HIGHEST to opt
-    # back up.
+    # Truth-gated AT THE BENCH SIZE with fg_spectral='poly'
+    # (TRUTH_GATE_256.json, round 4): "DEFAULT" (single-pass bf16) gives
+    # cleaned-P(k) 1.26e-3 vs the f64 oracle; "HIGHEST" reaches 3.29e-4
+    # — AT the 3.02e-4 f32 conditioning floor — but costs 8.2%% of the
+    # pipeline (101.0 -> 92.7 pipelines/s at 256^3).  DEFAULT ships;
+    # set HIGHEST for accuracy-critical low-k work.
     vel_precision: str | None = "DEFAULT"
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
