@@ -9,7 +9,10 @@ slab partials straight into the output block, so HBM traffic is exactly one
 read of the power cube plus a few hundred bytes of output — compare the
 reference's O(nbins * N^3) digitize loop (box.py:758-765).
 
-Semantics match ops.spectra._binned_pk_core / np.digitize exactly.
+Classification runs in SQUARED space (round 4): callers pass squared
+edges — physical, or the exact integer-lattice thresholds of
+``ops.spectra.kbin_thresholds`` for dtype-independent bin membership on
+cubic grids (docs/conventions.md item 4).
 """
 from __future__ import annotations
 
@@ -48,12 +51,14 @@ def _kernel(kx2_ref, edges_ref, pk_ref, ky2_ref, kz2_ref, out_ref, *,
 
     pk = pk_ref[0]                       # (N, N)
     kx2 = kx2_ref[i]                     # scalar
-    k = jnp.sqrt(kx2 + ky2_ref[:] + kz2_ref[:])  # (N, N) via broadcast
+    # Classification runs in SQUARED space: digitize(k, edges) ==
+    # sum_b (edges2[b] <= k^2), sqrt-free.  With integer-unit operands
+    # (ops/spectra.kbin_thresholds) the sums and compares are exact.
+    k2 = kx2 + ky2_ref[:] + kz2_ref[:]   # (N, N) via broadcast
 
-    # digitize(k, edges) == sum_b (edges[b] <= k)  (searchsorted 'right')
-    idx = jnp.zeros(k.shape, jnp.int32)
+    idx = jnp.zeros(k2.shape, jnp.int32)
     for b in range(nbins):
-        idx = idx + (edges_ref[b] <= k).astype(jnp.int32)
+        idx = idx + (edges_ref[b] <= k2).astype(jnp.int32)
 
     sums = []
     sumsqs = []
@@ -73,22 +78,29 @@ def _kernel(kx2_ref, edges_ref, pk_ref, ky2_ref, kz2_ref, out_ref, *,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
-    """Per-bin (sum, sumsq, count) of a power cube, digitized by |k|.
+def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges2, interpret: bool = False):
+    """Per-bin (sum, sumsq, count) of a power cube, digitized by |k|^2.
+
+    Classification happens in SQUARED space (round 4): bin b collects
+    elements with ``sum_e (edges2[e] <= kx2+ky2+kz2) == b``.  Pass
+    physical squared edges for the legacy behaviour, or integer-unit
+    squared indices + half-integer thresholds
+    (``ops.spectra.kbin_thresholds(...) - 0.5``) for EXACT
+    dtype-independent classification on cubic grids.
 
     Parameters:
         pk3d: (N, N, N) real power values |delta_k|^2 (already normalised).
-        kx2, ky2, kz2: squared 1-D physical wavenumbers per axis, (N,).
-        edges: (nbins,) ascending bin edges (max 120).
+        kx2, ky2, kz2: squared 1-D per-axis wavenumbers, (N,) —
+            physical or integer-index units (must match ``edges2``).
+        edges2: (nbins,) ascending SQUARED bin edges (max 120).
         interpret: run in the Pallas interpreter (for CPU tests).
 
     Returns:
-        (sums, sumsqs, counts), each (nbins,), where bin b collects elements
-        with digitize(k, edges) == b (bin 0 = below edges[0]).
+        (sums, sumsqs, counts), each (nbins,), bin 0 = below edges2[0].
     """
     N = pk3d.shape[0]
     dtype = pk3d.dtype
-    nbins = edges.shape[0]
+    nbins = edges2.shape[0]
     assert nbins <= 120, "binned_pk_pallas supports at most 120 bin edges"
     nrows = 8  # f32 sublane-aligned output block
 
@@ -112,7 +124,7 @@ def binned_pk_pallas(pk3d, kx2, ky2, kz2, edges, interpret: bool = False):
         interpret=interpret,
     )(
         kx2.astype(dtype),
-        edges.astype(dtype),
+        edges2.astype(dtype),
         pk3d,
         ky2.astype(dtype).reshape(N, 1),
         kz2.astype(dtype).reshape(1, N),
@@ -132,11 +144,13 @@ def _half_dual_kernel(edges_ref, p1_ref, p2_ref, kx2_ref, kyz2_ref,
     p1 = p1_ref[:]                       # (bx, Ny*H)
     p2 = p2_ref[:]
     w = jnp.broadcast_to(w_ref[:], p1.shape)   # (1, Ny*H) -> rows
-    k = jnp.sqrt(kx2_ref[:] + kyz2_ref[:])     # (bx,1)+(1,Ny*H)
+    # Squared-space digitize (sqrt-free; exact with integer-unit
+    # operands — see binned_pk_pallas / ops.spectra.kbin_thresholds)
+    k2 = kx2_ref[:] + kyz2_ref[:]              # (bx,1)+(1,Ny*H)
 
-    idx = jnp.zeros(k.shape, jnp.int32)
+    idx = jnp.zeros(k2.shape, jnp.int32)
     for b in range(nbins):
-        idx = idx + (edges_ref[b] <= k).astype(jnp.int32)
+        idx = idx + (edges_ref[b] <= k2).astype(jnp.int32)
 
     wp1 = w * p1
     s1, q1, s2, cw = [], [], [], []
@@ -156,7 +170,7 @@ def _half_dual_kernel(edges_ref, p1_ref, p2_ref, kx2_ref, kyz2_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
+def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges2,
                                interpret: bool = False):
     """Weighted dual-field binned reduction on an rfftn half spectrum.
 
@@ -177,19 +191,23 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
 
     Parameters:
         p1, p2: (Nx, Ny, H) real power values on the half spectrum.
-        kx2, ky2: squared 1-D wavenumbers, (Nx,), (Ny,).
+        kx2, ky2: squared 1-D wavenumbers, (Nx,), (Ny,) — physical or
+            exact integer-index units (must match ``edges2``).
         kz2h: squared kz on the half axis, (H,).
         wz: per-kz-plane Hermitian multiplicity weights, (H,).
-        edges: (nbins,) ascending bin edges (max 120).
+        edges2: (nbins,) ascending SQUARED bin edges (max 120) — e.g.
+            ``kbin_thresholds(grid, edges) - 0.5`` for the exact
+            integer-lattice classification on cubic grids.
 
     Returns:
         (sum w*p1, sum w*p1^2, sum w*p2, sum w) per bin, each (nbins,);
-        bin b collects digitize(k, edges) == b (bin 0 = below edges[0]).
+        bin b collects squared-space digitize == b (bin 0 = below
+        edges2[0]).
     """
     Nx, Ny, H = p1.shape
     assert p2.shape == p1.shape, (p1.shape, p2.shape)
     dtype = p1.dtype
-    nbins = edges.shape[0]
+    nbins = edges2.shape[0]
     assert nbins <= 120, "binned_pk_half_dual_pallas: at most 120 bin edges"
     nrows = 8
     NH = Ny * H
@@ -242,7 +260,7 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges,
         out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
         interpret=interpret,
     )(
-        edges.astype(dtype),
+        edges2.astype(dtype),
         p1.reshape(Nx, NH),
         p2.reshape(Nx, NH),
         kx2.astype(dtype).reshape(Nx, 1),

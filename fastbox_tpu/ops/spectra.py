@@ -29,6 +29,7 @@ from .reduce import binned_sum_sumsq_count, binned_sums
 
 __all__ = [
     "binned_power_spectrum",
+    "kbin_thresholds",
     "power_spectrum",
     "power_multipoles",
     "correlation_function",
@@ -44,12 +45,55 @@ def default_kbins(grid: GridSpec, nbins: int = 20) -> np.ndarray:
     return np.logspace(np.log10(grid.kmin), np.log10(grid.kmax), nbins)
 
 
+def kbin_thresholds(grid: GridSpec, bins) -> np.ndarray | None:
+    """Integer-lattice bin-classification thresholds for cubic grids.
+
+    On a cubic grid every mode's |k| is ``kappa*sqrt(m)`` with
+    ``kappa = 2 pi / L`` and ``m = i^2 + j^2 + l^2`` an exact integer, so
+    the digitize test ``bins[b] <= |k|`` (searchsorted side='right') is
+    exactly ``T_b <= m`` with ``T_b = ceil((bins[b]/kappa)^2)`` computed
+    once in f64 on host (a 1e-12 relative inclusion tolerance classifies
+    an edge *within f64 rounding of a lattice value* into the bin it
+    bounds).  Classifying the integer ``m`` instead of a floating |k|
+    makes the binning EXACT and identical across dtypes, platforms and
+    kernels for every N <= 4096 (m < 2^24, so even f32 holds it).
+
+    Why this exists (round 4): ``np.logspace(log10(kmin), ...)`` puts
+    the first edge one f64 ulp ABOVE kmin = the fundamental frequency,
+    so f64 digitize (the reference convention, box.py:749-758) silently
+    DISCARDS the five fundamental half-spectrum modes at every N while
+    any f32 |k| path keeps them.  At 512^3 the first retained bin holds
+    8 modes, 5 of them edge-sitters — a ~3e-1 f32-vs-f64 discrepancy
+    that masqueraded as a conditioning floor (truth_gate_512.npz).  The
+    integer convention keeps the fundamentals (documented divergence
+    from the reference's ulp-sensitive behaviour, docs/conventions.md).
+
+    Returns None for anisotropic boxes (no common integer lattice);
+    callers fall back to floating-|k| classification there.
+    """
+    if not (grid.Lx == grid.Ly == grid.Lz):
+        return None
+    kappa = 2.0 * np.pi / grid.Lx
+    E = (np.asarray(bins, np.float64) / kappa) ** 2
+    return np.ceil(E * (1.0 - 1e-12)).astype(np.int32)
+
+
+def _index_sq(grid: GridSpec) -> np.ndarray:
+    """Squared integer FFT indices (host, exact)."""
+    fi = np.asarray(grid.fft_index, np.int64)
+    return (fi * fi).astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("grid",))
-def _binned_pk_half_core(grid: GridSpec, delta_x, bins):
+def _binned_pk_half_core(grid: GridSpec, delta_x, bins, thr=None):
     """Half-spectrum lowering of the reference binning: one rank-3 R2C
     plus a kz-multiplicity-weighted histogram reproduces the full-grid
     sums exactly (interior kz planes appear twice in the full grid with
-    identical |delta_k|^2; the kz=0 and Nyquist planes once)."""
+    identical |delta_k|^2; the kz=0 and Nyquist planes once).
+
+    ``thr``: optional int32 :func:`kbin_thresholds` — exact integer-
+    lattice classification (cubic grids); None falls back to floating
+    |k| searchsorted."""
     from .reduce import binned_weighted_sum_sumsq_count
 
     rdtype = delta_x.dtype
@@ -57,10 +101,17 @@ def _binned_pk_half_core(grid: GridSpec, delta_x, bins):
     H = N // 2 + 1
     half = fft_safe.rfftn(delta_x)
     pk = (half * jnp.conj(half)).real / jnp.asarray(grid.boxfactor, rdtype)
-    kx, ky, kz = grid.kvec(rdtype)
-    kmag = jnp.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
-                    + kz[:H][None, None, :] ** 2)
-    idx = jnp.searchsorted(bins.astype(rdtype), kmag.ravel(), side="right")
+    if thr is not None:
+        fi2 = jnp.asarray(_index_sq(grid))
+        m = (fi2[:, None, None] + fi2[None, :, None]
+             + fi2[:H][None, None, :])
+        idx = jnp.searchsorted(thr, m.ravel(), side="right")
+    else:
+        kx, ky, kz = grid.kvec(rdtype)
+        kmag = jnp.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                        + kz[:H][None, None, :] ** 2)
+        idx = jnp.searchsorted(bins.astype(rdtype), kmag.ravel(),
+                               side="right")
     w = np.full(H, 2.0)
     w[0] = 1.0
     if N % 2 == 0:
@@ -77,13 +128,20 @@ def _binned_pk_half_core(grid: GridSpec, delta_x, bins):
 
 
 @partial(jax.jit, static_argnames=("grid",))
-def _binned_pk_core(grid: GridSpec, delta_k, bins):
+def _binned_pk_core(grid: GridSpec, delta_k, bins, thr=None):
     rdtype = jnp.real(delta_k).dtype
     pk = (delta_k * jnp.conj(delta_k)).real / jnp.asarray(grid.boxfactor, rdtype)
     nb = bins.shape[0]
-    kmag = grid.kmag(rdtype)
-    # np.digitize(k, bins) == searchsorted(bins, k, side='right')
-    idx = jnp.searchsorted(bins.astype(rdtype), kmag.ravel(), side="right")
+    if thr is not None:
+        fi2 = jnp.asarray(_index_sq(grid))
+        m = (fi2[:, None, None] + fi2[None, :, None]
+             + fi2[None, None, :])
+        idx = jnp.searchsorted(thr, m.ravel(), side="right")
+    else:
+        kmag = grid.kmag(rdtype)
+        # np.digitize(k, bins) == searchsorted(bins, k, side='right')
+        idx = jnp.searchsorted(bins.astype(rdtype), kmag.ravel(),
+                               side="right")
     sums, sumsqs, counts = binned_sum_sumsq_count(pk.ravel(), idx, nb)
     vals = sums / counts  # count==0 -> NaN, matching mean-of-empty
     var = jnp.maximum(sumsqs / counts - vals**2, 0.0)
@@ -118,12 +176,16 @@ def binned_power_spectrum(
     _bins = np.concatenate([[0.0], bins])
     cent = 0.5 * (_bins[1:] + _bins[:-1])
 
+    thr = kbin_thresholds(grid, bins)
+    thr_j = None if thr is None else jnp.asarray(thr)
     if delta_k is None:
         rdtype = jnp.asarray(delta_x).dtype
-        vals, stddev = _binned_pk_half_core(grid, delta_x, jnp.asarray(bins))
+        vals, stddev = _binned_pk_half_core(grid, delta_x, jnp.asarray(bins),
+                                            thr_j)
     else:
         rdtype = jnp.real(delta_k).dtype
-        vals, stddev = _binned_pk_core(grid, delta_k, jnp.asarray(bins))
+        vals, stddev = _binned_pk_core(grid, delta_k, jnp.asarray(bins),
+                                       thr_j)
 
     # First value is garbage (k < kmin modes incl. k=0); throw it away
     return jnp.asarray(cent[1:], rdtype), vals[1:], stddev[1:]

@@ -146,11 +146,15 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     boxfactor = grid.boxfactor
 
     if pk_nbins is not None:
-        from ..ops.spectra import default_kbins
+        from ..ops.spectra import _index_sq, default_kbins, kbin_thresholds
 
         kbins = default_kbins(grid, pk_nbins)
         _edges = np.concatenate([[0.0], kbins])
         kcent = 0.5 * (_edges[1:] + _edges[:-1])
+        # Exact integer-lattice classification on cubic grids (same plan
+        # as ops.spectra.binned_power_spectrum — dtype-independent bins)
+        bin_thr = kbin_thresholds(grid, kbins)
+        fi2_int = None if bin_thr is None else _index_sq(grid)
         # kz-multiplicity weights for the half-spectrum reduction
         kz_weight = np.full(Hh, 2.0)
         kz_weight[0] = 1.0
@@ -274,8 +278,16 @@ def make_sharded_cola(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
             from ..ops.reduce import binned_weighted_sum_sumsq_count
 
             p = (rk * jnp.conj(rk)).real / dtype.type(boxfactor)
-            idx = jnp.searchsorted(jnp.asarray(kbins, dtype),
-                                   jnp.sqrt(k2).ravel(), side="right")
+            if bin_thr is not None:
+                fi2_j = jnp.asarray(fi2_int)
+                m_loc = (lax.dynamic_slice_in_dim(fi2_j, row0, Np)
+                         [:, None, None]
+                         + fi2_j[None, :, None] + fi2_j[:Hh][None, None, :])
+                idx = jnp.searchsorted(jnp.asarray(bin_thr), m_loc.ravel(),
+                                       side="right")
+            else:
+                idx = jnp.searchsorted(jnp.asarray(kbins, dtype),
+                                       jnp.sqrt(k2).ravel(), side="right")
             wgt = jnp.broadcast_to(
                 jnp.asarray(kz_weight, dtype)[None, None, :], p.shape).ravel()
             sums, sumsqs, counts = binned_weighted_sum_sumsq_count(

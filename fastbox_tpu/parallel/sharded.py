@@ -42,7 +42,7 @@ from ..models import noise as noise_mod
 from ..models.foregrounds import _scipy_gaussian_kernel1d
 from ..ops.reduce import binned_weighted_sum_sumsq_count
 from ..ops.rsd import remap_los_batched
-from ..ops.spectra import default_kbins
+from ..ops.spectra import _index_sq, default_kbins, kbin_thresholds
 from ..pipeline import PipelineConfig, _hi_bias, _hi_tb
 from .fft import pfft2_local, pifft2_local, pirfft3_local, prfft3_local
 from .rng import TAGS, default_row_method, row_normal
@@ -143,6 +143,11 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
     logf_c = jnp.asarray(_logf, dtype)
 
     kbins = default_kbins(grid, config.nbins)
+    # Exact integer-lattice bin classification on cubic grids — the same
+    # plan the single-chip pipeline uses (ops/spectra.kbin_thresholds),
+    # so sharded and single-chip runs bin identically in every dtype.
+    bin_thr = kbin_thresholds(grid, kbins)
+    fi2_int = None if bin_thr is None else _index_sq(grid)
     nb = kbins.size
     _edges = np.concatenate([[0.0], kbins])
     kcent = 0.5 * (_edges[1:] + _edges[:-1])
@@ -298,8 +303,16 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         ck = prfft3_local(cleaned, "space", precision=config.mm3d_precision)
         p_clean = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
         p_dens = (delta_k * jnp.conj(delta_k)).real / dtype.type(boxfactor)
-        idx = jnp.searchsorted(jnp.asarray(kbins, dtype), kmag_loc.ravel(),
-                               side="right")
+        if bin_thr is not None:
+            fi2_j = jnp.asarray(fi2_int)
+            fx2_loc = lax.dynamic_slice_in_dim(fi2_j, row0, Np)
+            m_loc = (fx2_loc[:, None, None] + fi2_j[None, :, None]
+                     + fi2_j[:H][None, None, :])
+            idx = jnp.searchsorted(jnp.asarray(bin_thr), m_loc.ravel(),
+                                   side="right")
+        else:
+            idx = jnp.searchsorted(jnp.asarray(kbins, dtype),
+                                   kmag_loc.ravel(), side="right")
         wgt = jnp.broadcast_to(jnp.asarray(kz_weight, dtype)[None, None, :],
                                p_clean.shape[1:]).ravel()
 

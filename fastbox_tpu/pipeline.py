@@ -277,8 +277,23 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     kbins_edges = np.asarray(spectra_ops.default_kbins(grid, config.nbins))
     _e = np.concatenate([[0.0], kbins_edges])
     kcent = 0.5 * (_e[1:] + _e[:-1])
-    edges_j = jnp.asarray(kbins_edges, dtype)
     nb = kbins_edges.size
+    # Bin classification plan (round 4): squared-space digitize, with
+    # EXACT integer-lattice operands on cubic grids — identical bin
+    # membership in every dtype/platform/kernel (the floating |k| path
+    # put 5 edge-sitting fundamental modes in different bins between
+    # f32 and f64, a ~3e-1 artifact in the first retained 512^3 bin;
+    # see ops/spectra.kbin_thresholds).
+    _thr = spectra_ops.kbin_thresholds(grid, kbins_edges)
+    if _thr is not None:
+        _fi2 = spectra_ops._index_sq(grid)          # int32 (N,), exact
+        kx2_b = jnp.asarray(_fi2, dtype)            # integer-valued f32
+        ky2_b = kx2_b
+        kz2_b = jnp.asarray(_fi2[:H], dtype)
+        edges2_j = jnp.asarray(_thr.astype(np.float64) - 0.5, dtype)
+    else:
+        kx2_b, ky2_b, kz2_b = None, None, None      # built from kvec below
+        edges2_j = jnp.asarray(kbins_edges.astype(np.float64) ** 2, dtype)
 
     if config.pallas_pk not in ("auto", "on", "off"):
         raise ValueError(f"Unknown pallas_pk '{config.pallas_pk}'")
@@ -288,17 +303,31 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     _pk_interpret = jax.default_backend() != "tpu"  # CPU: Pallas interpreter
 
     if use_pallas_pk:
-        # The Pallas kernel digitizes |k| in-kernel; no index cube needed.
+        # The Pallas kernel digitizes k^2 in-kernel; no index cube needed.
         bin_idx_arg = jnp.zeros((1,), jnp.int32)
+        if kx2_b is None:
+            kx2_b = kxv * kxv
+            ky2_b = kyv * kyv
+            kz2_b = kz_half * kz_half
     else:
         # Bin indices precomputed once on device, passed as a runtime
         # argument (recomputing the searchsorted per call costs ~7 ms at
-        # 256^3)
-        _kmag_b = jnp.sqrt(kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
-                           + kz_half[None, None, :] ** 2)
-        bin_idx_arg = jnp.searchsorted(edges_j, _kmag_b.ravel(),
-                                       side="right").astype(jnp.int32)
-        del _kmag_b
+        # 256^3).  Cubic grids classify the exact integer lattice.
+        if _thr is not None:
+            _fi2_j = jnp.asarray(_fi2)
+            _m = (_fi2_j[:, None, None] + _fi2_j[None, :, None]
+                  + _fi2_j[:H][None, None, :])
+            bin_idx_arg = jnp.searchsorted(jnp.asarray(_thr), _m.ravel(),
+                                           side="right").astype(jnp.int32)
+            del _m
+        else:
+            _kmag_b = jnp.sqrt(kxv[:, None, None] ** 2
+                               + kyv[None, :, None] ** 2
+                               + kz_half[None, None, :] ** 2)
+            bin_idx_arg = jnp.searchsorted(jnp.asarray(kbins_edges, dtype),
+                                           _kmag_b.ravel(),
+                                           side="right").astype(jnp.int32)
+            del _kmag_b
 
     if config.noise_scheme not in ("half", "rows"):
         raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
@@ -500,7 +529,7 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             from .ops.pallas.binned_pk import binned_pk_half_dual_pallas
 
             s1, q1, s2, cnt = binned_pk_half_dual_pallas(
-                p_clean, p_dens, kxv**2, kyv**2, kz_half**2, kzw_j, edges_j,
+                p_clean, p_dens, kx2_b, ky2_b, kz2_b, kzw_j, edges2_j,
                 interpret=_pk_interpret)
         else:
             from .ops.reduce import binned_weighted_dual

@@ -54,9 +54,10 @@ def main():
 
     kx, ky, kz = (np.asarray(v, np.float64) for v in grid.kvec(jnp.float64))
     edges = np.asarray(default_kbins(grid, 20), np.float64)
-    kmag = np.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
-                   + kz[None, None, :] ** 2)
-    idx = np.digitize(kmag.ravel(), edges)
+    # Squared-space classification (the round-4 kernel contract)
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+    idx = np.digitize(k2.ravel(), edges**2)
 
     # f64 host oracle
     nb = edges.size + 1
@@ -68,7 +69,7 @@ def main():
     s, q, c = binned_pk_pallas(p3, jnp.asarray(kx**2, jnp.float32),
                                jnp.asarray(ky**2, jnp.float32),
                                jnp.asarray(kz**2, jnp.float32),
-                               jnp.asarray(edges, jnp.float32))
+                               jnp.asarray(edges**2, jnp.float32))
     s = np.asarray(s, np.float64)
     q = np.asarray(q, np.float64)
     c = np.asarray(c, np.float64)

@@ -25,7 +25,7 @@ pk3d = jax.random.uniform(key, (N,N,N), jnp.float32)
 kx, ky, kz = grid.kvec(jnp.float32)
 edges = jnp.asarray(np.logspace(np.log10(grid.kmin), np.log10(grid.kmax), 20), jnp.float32)
 
-o_p = bench("pallas binned_pk 256^3", jax.jit(lambda p: binned_pk_pallas(p, kx**2, ky**2, kz**2, edges)), pk3d)
+o_p = bench("pallas binned_pk 256^3", jax.jit(lambda p: binned_pk_pallas(p, kx**2, ky**2, kz**2, edges**2)), pk3d)
 
 kmag = grid.kmag(jnp.float32)
 idx = jnp.searchsorted(edges, kmag.ravel(), side="right")

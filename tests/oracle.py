@@ -52,8 +52,15 @@ def velocity_field(delta_k, N, Lx, Ly, Lz, fac):
 
 
 def binned_power_spectrum(delta_k, k, kmin, kmax, boxfactor, nbins=20,
-                          kbins=None):
-    """Reference-convention binned P(k): digitize + per-bin mean/std."""
+                          kbins=None, index_m=None, kappa=None):
+    """Reference-convention binned P(k): digitize + per-bin mean/std.
+
+    ``index_m``/``kappa``: optional exact integer-lattice classification
+    (cubic grids): ``index_m = Kx^2+Ky^2+Kz^2`` (exact integers) and
+    ``kappa = 2*pi/L``; bin membership is then
+    ``searchsorted(ceil((bins/kappa)^2*(1-1e-12)), m, 'right')`` — an
+    independent numpy restatement of ``ops.spectra.kbin_thresholds``
+    (the library's round-4 dtype-exact binning convention)."""
     pk = (delta_k * np.conj(delta_k)).real / boxfactor
     if kbins is not None:
         bins = np.asarray(kbins)
@@ -63,7 +70,13 @@ def binned_power_spectrum(delta_k, k, kmin, kmax, boxfactor, nbins=20,
     cent = [0.5 * (_bins[j + 1] + _bins[j]) for j in range(bins.size)]
     vals = np.zeros(bins.size)
     stddev = np.zeros(bins.size)
-    idxs = np.digitize(k.flatten(), bins)
+    if index_m is not None:
+        thr = np.ceil((np.asarray(bins, np.float64) / kappa) ** 2
+                      * (1.0 - 1e-12)).astype(np.int64)
+        idxs = np.searchsorted(thr, np.asarray(index_m).flatten(),
+                               side="right")
+    else:
+        idxs = np.digitize(k.flatten(), bins)
     pk_flat = pk.flatten()
     for i in range(bins.size):
         sel = idxs == i

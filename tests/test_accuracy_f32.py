@@ -20,11 +20,13 @@ def test_f32_spectrum_within_1e4(cosmo_z0, rng):
                + 1j * rng.standard_normal(GRID.shape))
 
     # f64 oracle (numpy)
-    _, _, _, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    Kx, Ky, Kz, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    m = (Kx**2 + Ky**2 + Kz**2).astype(np.int64)
     pk_grid = np.asarray(cosmo_z0.pk_nl(k))
     _, dk_o = oracle.gaussian_field(white64, pk_grid, GRID.boxfactor)
-    kc_o, pk_o, _ = oracle.binned_power_spectrum(dk_o, k, GRID.kmin,
-                                                 GRID.kmax, GRID.boxfactor)
+    kc_o, pk_o, _ = oracle.binned_power_spectrum(
+        dk_o, k, GRID.kmin, GRID.kmax, GRID.boxfactor,
+        index_m=m, kappa=2.0 * np.pi / GRID.Lx)
 
     # f32 device path on the same noise
     white32 = jnp.asarray(white64.astype(np.complex64))
@@ -63,8 +65,11 @@ def test_f32_rsd_within_1e4(cosmo_z0, rng):
     # Compare the redshift-space *spectra* (pointwise field values can
     # differ near cell boundaries at f32; the statistical contract is on
     # spectra, BASELINE.md)
+    Kx, Ky, Kz, _k_unused = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    m = (Kx**2 + Ky**2 + Kz**2).astype(np.int64)
     _, pk_o, _ = oracle.binned_power_spectrum(
-        np.fft.fftn(ds_o), k, GRID.kmin, GRID.kmax, GRID.boxfactor)
+        np.fft.fftn(ds_o), k, GRID.kmin, GRID.kmax, GRID.boxfactor,
+        index_m=m, kappa=2.0 * np.pi / GRID.Lx)
     _, pk_j, _ = spectra.binned_power_spectrum(GRID, delta_x=ds32)
     pk_j = np.asarray(pk_j, dtype=np.float64)
     good = np.isfinite(pk_o) & (pk_o > 1e-10)

@@ -17,11 +17,14 @@ def test_binned_pk_pallas_matches_reference(rng):
         np.logspace(np.log10(grid.kmin), np.log10(grid.kmax), 20),
         dtype=jnp.float32)
 
-    s_p, q_p, c_p = binned_pk_pallas(pk3d, kx**2, ky**2, kz**2, edges,
+    # Squared-space contract (round 4): the kernel digitizes k^2
+    # against squared edges
+    s_p, q_p, c_p = binned_pk_pallas(pk3d, kx**2, ky**2, kz**2, edges**2,
                                      interpret=True)
 
-    kmag = grid.kmag(jnp.float32)
-    idx = jnp.searchsorted(edges, kmag.ravel(), side="right")
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+    idx = jnp.searchsorted(edges**2, k2.ravel(), side="right")
     s_r, q_r, c_r = binned_sum_sumsq_count(pk3d.ravel(), idx, 20)
 
     assert np.allclose(np.asarray(c_p), np.asarray(c_r))
@@ -49,12 +52,12 @@ def test_binned_pk_half_dual_pallas_matches_reference(rng):
         dtype=jnp.float32)
 
     s1p, q1p, s2p, cwp = binned_pk_half_dual_pallas(
-        p1, p2, kx**2, ky**2, kzh**2, jnp.asarray(wz), edges,
+        p1, p2, kx**2, ky**2, kzh**2, jnp.asarray(wz), edges**2,
         interpret=True)
 
-    kmag = jnp.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
-                    + kzh[None, None, :] ** 2)
-    idx = jnp.searchsorted(edges, kmag.ravel(),
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kzh[None, None, :] ** 2)
+    idx = jnp.searchsorted(edges**2, k2.ravel(),
                            side="right").astype(jnp.int32)
     w = jnp.broadcast_to(jnp.asarray(wz)[None, None, :], p1.shape)
     s1r, q1r, s2r, _, cwr = binned_weighted_dual(

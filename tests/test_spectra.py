@@ -20,9 +20,11 @@ def _field(cosmo, seed=0, grid=GRID):
 def test_binned_pk_matches_oracle(cosmo_z0):
     dx, dk = _field(cosmo_z0)
     kc_j, pk_j, sd_j = spectra.binned_power_spectrum(GRID, delta_k=dk)
-    _, _, _, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    Kx, Ky, Kz, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    m = (Kx**2 + Ky**2 + Kz**2).astype(np.int64)
     kc_o, pk_o, sd_o = oracle.binned_power_spectrum(
-        np.asarray(dk), k, GRID.kmin, GRID.kmax, GRID.boxfactor
+        np.asarray(dk), k, GRID.kmin, GRID.kmax, GRID.boxfactor,
+        index_m=m, kappa=2.0 * np.pi / GRID.Lx
     )
     assert np.allclose(np.asarray(kc_j), kc_o)
     assert np.allclose(np.asarray(pk_j), pk_o, rtol=1e-10, equal_nan=True)
@@ -33,9 +35,11 @@ def test_binned_pk_custom_bins(cosmo_z0):
     dx, dk = _field(cosmo_z0)
     kbins = np.linspace(GRID.kmin, 0.5 * GRID.kmax, 12)
     kc_j, pk_j, _ = spectra.binned_power_spectrum(GRID, delta_k=dk, kbins=kbins)
-    _, _, _, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    Kx, Ky, Kz, k = oracle.kgrids(N, GRID.Lx, GRID.Ly, GRID.Lz)
+    m = (Kx**2 + Ky**2 + Kz**2).astype(np.int64)
     kc_o, pk_o, _ = oracle.binned_power_spectrum(
-        np.asarray(dk), k, GRID.kmin, GRID.kmax, GRID.boxfactor, kbins=kbins
+        np.asarray(dk), k, GRID.kmin, GRID.kmax, GRID.boxfactor, kbins=kbins,
+        index_m=m, kappa=2.0 * np.pi / GRID.Lx
     )
     assert np.allclose(np.asarray(pk_j), pk_o, rtol=1e-10, equal_nan=True)
 
