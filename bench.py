@@ -119,13 +119,15 @@ def main():
                          "TRUTH_GATE_256.json) and slower on TPU anyway — "
                          "kept for off-TPU backends")
     ap.add_argument("--pallas-draw", default=None,
-                    choices=["auto", "on", "off"],
+                    choices=["auto", "on", "off", "vz"],
                     help="density-draw backend (PipelineConfig.pallas_draw); "
                          "default off (composition loser: 90.6 vs 93.3 "
                          "pipelines/s at 256^3); on/auto = fused on-core "
                          "PRNG draw on TPU (different stream than threefry; "
                          "statistics validated by "
-                         "scripts/check_pallas_draw_stats.py)")
+                         "scripts/check_pallas_draw_stats.py); vz "
+                         "additionally fuses the velocity k-weighting "
+                         "into the draw kernel (round-4 experiment)")
     ap.add_argument("--vel-precision", default=None,
                     help="einsum precision for the velocity inverse "
                          "transform only (DEFAULT/HIGH/HIGHEST); default "

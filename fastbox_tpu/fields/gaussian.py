@@ -146,6 +146,40 @@ def colored_half_noise(key, grid: GridSpec, amp_half, dtype=jnp.float32,
     return half
 
 
+def colored_half_noise_vz(key, grid: GridSpec, amp_half, kx2col, kyz2row,
+                          kznumrow, dtype=jnp.float32,
+                          interpret: bool = False):
+    """:func:`colored_half_noise` plus the LOS-velocity half-spectrum
+    ``vz_k = delta_k * i * kznum/(kx2+kyz2)`` fused in the same VMEM pass
+    (ops/pallas/half_draw.colored_complex_normal_vz_pallas — the round-4
+    fusion experiment, VERDICT #7).
+
+    The kz=0 and even-N Nyquist planes carry ZERO velocity weight
+    (kznum = 0 there), so only the delta planes need the threefry
+    Hermitian fix-up; vz needs none.
+
+    Returns (delta_k, vz_k).  TPU-only; callers guard the platform.
+    """
+    N = grid.N
+    H = N // 2 + 1
+
+    from ..ops.pallas.half_draw import colored_complex_normal_vz_pallas
+
+    k_int, k_p0, k_pn = jax.random.split(key, 3)
+    seed = jax.random.bits(k_int, (2,), "uint32").astype(jnp.int32)
+    re, im, vre, vim = colored_complex_normal_vz_pallas(
+        amp_half.reshape(N, N * H), kx2col, kyz2row, kznumrow, seed,
+        interpret=interpret)
+    half = jax.lax.complex(re, im).reshape(N, N, H)
+    vz = jax.lax.complex(vre, vim).reshape(N, N, H)
+    half = half.at[:, :, 0].set(_herm_plane(k_p0, N, dtype)
+                                * amp_half[:, :, 0])
+    if N % 2 == 0:
+        half = half.at[:, :, H - 1].set(_herm_plane(k_pn, N, dtype)
+                                        * amp_half[:, :, H - 1])
+    return half, vz
+
+
 def hermitian_symmetrize(A):
     """Project a Fourier cube onto Hermitian symmetry: (A + conj(A_-k))/2.
 

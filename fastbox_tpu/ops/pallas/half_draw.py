@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .noise import _box_muller
 
-__all__ = ["colored_complex_normal_pallas"]
+__all__ = ["colored_complex_normal_pallas",
+           "colored_complex_normal_vz_pallas"]
 
 _SQRT_HALF = 0.7071067811865476
 # Per-buffer VMEM block cap: tighter than binned_pk.py's 2.5 MB because
@@ -64,6 +65,83 @@ def _kernel(seed_ref, amp_ref, re_ref, im_ref):
     s = amp * dtype.type(_SQRT_HALF)
     re_ref[:] = s * n_re
     im_ref[:] = s * n_im
+
+
+def _kernel_vz(seed_ref, amp_ref, kx2_ref, kyz2_ref, kznum_ref,
+               re_ref, im_ref, vre_ref, vim_ref):
+    """Draw + colour + velocity k-weighting in one VMEM pass.
+
+    Round-4 fusion experiment (VERDICT #7): the previous draw-only kernel
+    lost in composition partly because XLA fuses erfinv+colour+the vz
+    weighting into one HBM pass that the kernel boundary then splits.
+    Emitting vz_k = delta_k * (i * vel_fac * kz / k^2) here removes that
+    split: the weight is built from three tiny vectors (kx^2 per row,
+    ky^2+kz^2 and vel_fac*kz per lane), and the kz=0 / Nyquist planes
+    need NO Hermitian fix-up — their weight is identically zero, so the
+    delta-plane overwrites don't touch vz.
+    """
+    blk = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ blk)
+    amp = amp_ref[:]                      # (BR, BC)
+    dtype = jnp.dtype(amp.dtype)
+    n_re, n_im = _box_muller(amp.shape, dtype)
+    s = amp * dtype.type(_SQRT_HALF)
+    re = s * n_re
+    im = s * n_im
+    re_ref[:] = re
+    im_ref[:] = im
+    k2 = kx2_ref[:] + kyz2_ref[:]         # (BR,1) + (1,BC)
+    w = jnp.where(k2 > 0.0, kznum_ref[:] / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+    vre_ref[:] = -im * w                  # (re + i im) * (i w)
+    vim_ref[:] = re * w
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def colored_complex_normal_vz_pallas(amp2d, kx2col, kyz2row, kznumrow, seed,
+                                     interpret: bool = False):
+    """(Re, Im, vzRe, vzIm): the colored draw of
+    :func:`colored_complex_normal_pallas` plus its velocity weighting
+    ``vz = delta * i * kznum / (kx2 + kyz2)`` fused in the same pass.
+
+    Parameters:
+        amp2d: (R, C) colour amplitudes (C a multiple of 128, R of 8).
+        kx2col: (R, 1) squared kx per row.
+        kyz2row: (1, C) ky^2+kz^2 per lane.
+        kznumrow: (1, C) velocity numerator (vel_fac * kz, Nyquist-masked).
+        seed: as in colored_complex_normal_pallas.
+    """
+    R, C = amp2d.shape
+    dtype = amp2d.dtype
+    assert C % 128 == 0 and R % 8 == 0, (R, C)
+    br = 8
+    dmax = max(1, int(_MAX_BLOCK_BYTES / (br * 128 * dtype.itemsize)))
+    nlanes = C // 128
+    d = max(dd for dd in range(1, min(dmax, nlanes) + 1) if nlanes % dd == 0)
+    bc = 128 * d
+
+    seed_arg = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed_arg.shape[0] == 1:
+        seed_arg = jnp.concatenate([seed_arg, jnp.zeros(1, jnp.int32)])
+    assert seed_arg.shape == (2,), seed_arg.shape
+    bspec = pl.BlockSpec((br, bc), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM)
+    colspec = pl.BlockSpec((br, 1), lambda i, j, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, bc), lambda i, j, *_: (0, j),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _kernel_vz,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // br, C // bc),
+            in_specs=[bspec, colspec, rowspec, rowspec],
+            out_specs=[bspec, bspec, bspec, bspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R, C), dtype)] * 4,
+        interpret=interpret,
+    )(seed_arg, amp2d, kx2col.astype(dtype), kyz2row.astype(dtype),
+      kznumrow.astype(dtype))
+    return outs
 
 
 @partial(jax.jit, static_argnames=("interpret",))

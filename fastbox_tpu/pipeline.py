@@ -333,16 +333,33 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         raise ValueError(f"Unknown noise_scheme '{config.noise_scheme}'")
     rows_mode = config.noise_scheme == "rows"
 
-    if config.pallas_draw not in ("auto", "on", "off"):
+    if config.pallas_draw not in ("auto", "on", "off", "vz"):
         raise ValueError(f"Unknown pallas_draw '{config.pallas_draw}'")
     # TPU-only in every mode: pltpu.prng_* has no CPU interpreter support
     # (tests/test_pallas_noise.py), so off-TPU the threefry path always
     # runs regardless of the knob.
-    use_pallas_draw = (
+    _pallas_draw_ok = (
         not rows_mode and not config.threefry_noise
         and config.draw_dtype is None
-        and config.pallas_draw in ("auto", "on")
-        and jax.default_backend() == "tpu")
+        and jax.default_backend() == "tpu"
+        and grid.N % 8 == 0 and (grid.N * H) % 128 == 0)
+    use_pallas_draw = _pallas_draw_ok and config.pallas_draw in ("auto", "on")
+    # 'vz' additionally fuses the velocity k-weighting into the draw
+    # kernel (round-4 fusion experiment, VERDICT #7): vz_k is emitted by
+    # the same VMEM pass, and its kz=0/Nyquist planes carry zero weight
+    # so only delta needs the Hermitian fix-up.
+    use_pallas_vz = _pallas_draw_ok and config.pallas_draw == "vz"
+    if use_pallas_vz:
+        _kyz2 = (np.asarray(kyv, np.float64)[:, None] ** 2
+                 + np.asarray(kz_half, np.float64)[None, :] ** 2)
+        kyz2row_j = jnp.asarray(_kyz2.reshape(1, grid.N * H), dtype)
+        _kznum = np.where(np.asarray(nyq_z), 0.0,
+                          vel_fac * np.asarray(kz_half, np.float64))
+        kznumrow_j = jnp.asarray(
+            np.broadcast_to(_kznum[None, :], (grid.N, H))
+            .reshape(1, grid.N * H), dtype)
+        kx2col_j = jnp.asarray(
+            np.asarray(kxv, np.float64).reshape(grid.N, 1) ** 2, dtype)
 
     ddt = jnp.dtype(config.draw_dtype) if config.draw_dtype else dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -365,6 +382,12 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                 white, precision=config.mm3d_precision
             ) * dtype.type(grid.N ** -1.5)
             delta_k = white_h * amp_half
+        elif use_pallas_vz:
+            # Fused draw + colour + velocity weighting in ONE VMEM pass
+            # (round-4 fusion experiment — see PipelineConfig.pallas_draw)
+            delta_k, vz_k = gaussian.colored_half_noise_vz(
+                k_dens, grid, amp_half, kx2col_j, kyz2row_j, kznumrow_j,
+                dtype)
         elif use_pallas_draw:
             # Fused draw + colour multiply in VMEM (different stream than
             # threefry — see PipelineConfig.pallas_draw)
@@ -379,13 +402,15 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
 
         # (3, hoisted) LOS velocity spectrum from the Gaussian field
         # (z component only); k-weights built on the fly (XLA fuses the
-        # broadcasts)
-        k2 = (kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
-              + kz_half[None, None, :] ** 2)
-        inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
-        vz_k = (1j * delta_k) * (dtype.type(vel_fac)
-                                 * kz_half[None, None, :] * inv_k2)
-        vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
+        # broadcasts).  The 'vz' draw mode emitted vz_k already.
+        if not use_pallas_vz:
+            k2 = (kxv[:, None, None] ** 2 + kyv[None, :, None] ** 2
+                  + kz_half[None, None, :] ** 2)
+            inv_k2 = jnp.where(k2 > 0.0,
+                               1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            vz_k = (1j * delta_k) * (dtype.type(vel_fac)
+                                     * kz_half[None, None, :] * inv_k2)
+            vz_k = jnp.where(nyq_z[None, None, :], 0.0, vz_k)
 
         if config.fft_pair:
             from .ops import mmfft

@@ -74,6 +74,16 @@ def main():
         pre(f"colored half draw N={N}",
             lambda a: colored_complex_normal_pallas(a, jnp.int32(5)), amp2d)
 
+        from fastbox_tpu.ops.pallas.half_draw import (
+            colored_complex_normal_vz_pallas)
+
+        kx2c = jnp.ones((N, 1), jnp.float32)
+        kyzr = jnp.ones((1, N * H), jnp.float32)
+        kznr = jnp.ones((1, N * H), jnp.float32)
+        pre(f"colored half draw+vz N={N}",
+            lambda a: colored_complex_normal_vz_pallas(
+                a, kx2c, kyzr, kznr, jnp.int32(5)), amp2d)
+
         kx2 = jnp.zeros((N,), jnp.float32)
         kz2 = jnp.zeros((H,), jnp.float32)
         wz = jnp.ones((H,), jnp.float32)

@@ -152,6 +152,12 @@ def cmd_check(args):
     t_c, t_d = d["pk_cleaned"], d["pk_density"]
     floor = float(np.max(_rel(d["f32_pk_cleaned"], t_c)))
     floor_low = float(np.max(_rel(d["f32_pk_cleaned"], t_c)[:, :5]))
+    # Per-bin floor (max over keys, first 8 bins): under the round-4
+    # exact binning the first retained bin holds only the 5 fundamental
+    # modes, so its floor dwarfs every other bin — the per-bin view
+    # keeps the headline max interpretable.
+    floor_bins = [float(v)
+                  for v in np.max(_rel(d["f32_pk_cleaned"], t_c), axis=0)[:8]]
 
     grid, cosmology = _build(jax, int(nsamp), float(box), float(redshift))
     from fastbox_tpu.ops import fft_safe, mmfft
@@ -275,6 +281,8 @@ def cmd_check(args):
         results[name] = {
             "pk_cleaned_max": float(rel.max()),
             "pk_cleaned_low5": float(rel[:, :5].max()),
+            "pk_cleaned_bins": [float(v)
+                                for v in rel.max(axis=0)[:8]],
             "pk_density_max": float(rel_d.max()),
             "signed_mean_low5": [float(v) for v in signed_low],
         }
@@ -283,6 +291,7 @@ def cmd_check(args):
               flush=True)
 
     summary = {"floor": float(floor), "floor_low5": float(floor_low),
+               "floor_bins": floor_bins,
                "nsamp": int(nsamp), "keys": keys, "variants": results}
     print(json.dumps(summary))
     with open(args.out, "w") as f:
