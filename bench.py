@@ -133,6 +133,21 @@ def main():
                          "transform only (DEFAULT/HIGH/HIGHEST); default "
                          "inherits --mm3d-precision; see truth-gate "
                          "variant 'vel_default'")
+    ap.add_argument("--dx-precision", default=None,
+                    help="einsum precision for the delta_x inverse "
+                         "transform only (default inherits "
+                         "--mm3d-precision; truth-gate variant "
+                         "'dx_default')")
+    ap.add_argument("--fwd-precision", default=None,
+                    help="einsum precision for the cleaned-cube forward "
+                         "transform only (default inherits "
+                         "--mm3d-precision; truth-gate variant "
+                         "'fwd_default')")
+    ap.add_argument("--eigh-hoist", default=None,
+                    choices=["auto", "on", "off"],
+                    help="chained-pipeline batched-eigh hoist "
+                         "(PipelineConfig.eigh_hoist; default auto = on "
+                         "for TPU)")
     ap.add_argument("--draw-method", default=None,
                     choices=["erfinv", "box_muller"],
                     help="bits->normal transform for the density draw "
@@ -183,6 +198,12 @@ def main():
                                      vel_precision=args.vel_precision)
     if args.draw_method is not None:
         config = dataclasses.replace(config, draw_method=args.draw_method)
+    if args.dx_precision is not None:
+        config = dataclasses.replace(config, dx_precision=args.dx_precision)
+    if args.fwd_precision is not None:
+        config = dataclasses.replace(config, fwd_precision=args.fwd_precision)
+    if args.eigh_hoist is not None:
+        config = dataclasses.replace(config, eigh_hoist=args.eigh_hoist)
     if args.chain is None:
         args.chain = 16 if args.nsamp <= 256 else 6
     if args.batch > 1:
@@ -245,6 +266,9 @@ def main():
         "pallas_draw": config.pallas_draw,
         "pca": "exact" if config.pca_exact else "subspace",
         "vel_precision": config.vel_precision,
+        "dx_precision": config.dx_precision,
+        "fwd_precision": config.fwd_precision,
+        "eigh_hoist": config.eigh_hoist,
         "draw_method": config.draw_method,
     }))
 

@@ -320,10 +320,15 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
             # interpret mode lets the fused kernels run (slowly) on CPU,
             # for tests; on TPU they compile to real Mosaic kernels.
             _interp = jax.default_backend() == "cpu"
+            # The ladder guarantees the STRICT bound maxd < b (band_index
+            # uses >=), so the Pallas kernels run open-band: 2B+1 offsets
+            # per axis instead of 2B+2 — a ((2B+1)/(2B+2))^3 term saving
+            # (0.42x at B=1, 0.58x at B=2, 0.67x at B=3), worth ~1 s of
+            # the 2.8 s 256^3 evolution.
             cic_paint_lattice = partial(plc.cic_paint_lattice_pallas,
-                                        interpret=_interp)
+                                        interpret=_interp, openband=True)
             cic_gather_lattice = partial(plc.cic_gather_lattice_pallas,
-                                         interpret=_interp)
+                                         interpret=_interp, openband=True)
             # Fused 3-mesh force gather: the CIC weight planes depend only
             # on the displacements, so one kernel shares them across the
             # three force components instead of rebuilding them 3x.
@@ -334,7 +339,7 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
             # fuse_force_gather may be an int: fuse only ladder branches
             # with band <= it (wide bands keep the per-mesh gathers).
             cic_gather3 = (partial(plc.cic_gather3_lattice_pallas,
-                                   interpret=_interp)
+                                   interpret=_interp, openband=True)
                            if fuse_force_gather > 0 else None)
         else:
             from .lattice_cic import cic_gather_lattice, cic_paint_lattice
@@ -387,10 +392,16 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
             kcut = None
 
         def band_index(maxd):
-            """Smallest ladder band covering maxd; len(bands) -> scatter."""
+            """Smallest ladder band covering maxd STRICTLY (maxd < b);
+            len(bands) -> scatter.  The strict inequality is what lets
+            the Pallas kernels run open-band (2B+1 offsets per axis):
+            with maxd < b, floor(d) is in [-b, b-1] so the CIC cloud
+            never touches offset b+1.  A displacement exactly equal to
+            b (measure-zero) escalates to the next band / the exact
+            scatter fallback rather than being mis-painted."""
             idx = jnp.int32(0)
             for b in bands:
-                idx = idx + (maxd > dtype.type(b)).astype(jnp.int32)
+                idx = idx + (maxd >= dtype.type(b)).astype(jnp.int32)
             return idx
 
         def pm_force(x, a):

@@ -59,16 +59,23 @@ def _axis_w(d, o):
     return (1.0 - fr) * (fl == o) + fr * (fl == (o - 1))
 
 
-def _axis_w_planes(d, B: int, dtype):
-    """All (2B+2) per-offset CIC weight planes of one axis, sharing a
+def _axis_w_planes(d, B: int, dtype, openband: bool = False):
+    """All per-offset CIC weight planes of one axis, sharing a
     single floor/frac computation (the inner offset loops would otherwise
-    recompute it (2B+2)^2 times per block — the dominant VPU cost at
-    B=3)."""
+    recompute it per use — the dominant VPU cost at B=3).
+
+    Closed band (|d| <= B, the default): offsets span [-B, B+1], 2B+2
+    planes.  Open band (|d| < B STRICTLY): floor(d) is in [-B, B-1], so
+    the cloud spans only [-B, B] — 2B+1 planes, which compounds to a
+    ((2B+1)/(2B+2))^3 term-count saving across the three axes (0.42x at
+    B=1, 0.58x at B=2, 0.67x at B=3).  Callers must guarantee the strict
+    bound (the cola ladder's band_index does, fields/cola.py)."""
     fl = jnp.floor(d)
     fr = d - fl
     one_m = 1.0 - fr
+    hi = B + 1 if openband else B + 2
     return [one_m * (fl == dtype.type(o)) + fr * (fl == dtype.type(o - 1))
-            for o in range(-B, B + 2)]
+            for o in range(-B, hi)]
 
 
 def _floor_frac(d):
@@ -98,7 +105,8 @@ def _rows(triple, s, bx):
     return jnp.concatenate([triple[a][r:], triple[a + 1][:r]], axis=0)
 
 
-def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z"):
+def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z",
+                  openband: bool = False):
     if weighted:
         (dx0, dx1, dx2, dy0, dy1, dy2, dz0, dz1, dz2,
          w0, w1, w2, out_ref) = refs
@@ -110,18 +118,22 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z"):
     N1 = out_ref.shape[1]
     N2 = out_ref.shape[2]
     k_id = pl.program_id(1)
+    # Offset support per axis: [-B, B+1] for the closed band (|d| <= B),
+    # [-B, B] for the open band (|d| < B strictly) — see _axis_w_planes.
+    oxmax = B if openband else B + 1
+    ohi = B + 1 if openband else B + 2
 
     @pl.when(k_id == 0)
     def _():
         out_ref[:] = jnp.zeros(out_ref.shape, dtype)
 
-    # x offset ox = B + 1 - k: particle rows c + k - B - 1 (concat-local
-    # slice start bx + k - B - 1) contribute to out row c with offset ox.
-    for k in range(2 * B + 2):
+    # x offset ox = oxmax - k: particle rows c - ox (concat-local slice
+    # start bx - ox) contribute to out row c with offset ox.
+    for k in range(oxmax + B + 1):
         @pl.when(k_id == k)
         def _(k=k):
-            ox = B + 1 - k
-            s = bx + k - B - 1
+            ox = oxmax - k
+            s = bx - ox
             sdx = _rows((dx0, dx1, dx2), s, bx)
             sdy = _rows((dy0, dy1, dy2), s, bx)
             sdz = _rows((dz0, dz1, dz2), s, bx)
@@ -132,25 +144,25 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z"):
             flz, frz = _floor_frac(sdz)
             acc = None
             if inner == "z":
-                # (2B+2)^2 lane rolls, (2B+2) sublane rolls
-                wzs = _axis_w_planes(sdz, B, dtype)
-                for oy in range(-B, B + 2):
+                # n_off^2 lane rolls, n_off sublane rolls
+                wzs = _axis_w_planes(sdz, B, dtype, openband)
+                for oy in range(-B, ohi):
                     wxy = wx * _w_from(fly, fry, oy, dtype)
                     part = None
-                    for iz, oz in enumerate(range(-B, B + 2)):
+                    for iz, oz in enumerate(range(-B, ohi)):
                         t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
                         part = t if part is None else part + t
                     t = pltpu.roll(part, oy % N1, 1)
                     acc = t if acc is None else acc + t
             else:
-                # Swapped: (2B+2)^2 sublane rolls, (2B+2) lane rolls —
+                # Swapped: n_off^2 sublane rolls, n_off lane rolls —
                 # same arithmetic, different roll-unit pressure (lane
                 # rotates cross the 128-lane register; sublane rotates
                 # stay within the 8-sublane tile).
-                for oz in range(-B, B + 2):
+                for oz in range(-B, ohi):
                     wxz = wx * _w_from(flz, frz, oz, dtype)
                     part = None
-                    for oy in range(-B, B + 2):
+                    for oy in range(-B, ohi):
                         t = pltpu.roll(wxz * _w_from(fly, fry, oy, dtype),
                                        oy % N1, 1)
                         part = t if part is None else part + t
@@ -159,15 +171,17 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z"):
             out_ref[:] += acc
 
 
-def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z"):
+def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z",
+                   openband: bool = False):
     """Gather ``nmesh`` co-located meshes at the same particle positions.
 
     All CIC weights are evaluated at the particle (output) site, so the
     weight planes are computed ONCE and shared across meshes — the whole
     point of the fused nmesh=3 variant (the PM force's three components,
     fields/cola.py): 3 separate gathers recompute every weight plane.
-    ``inner`` picks which axis takes the (2B+2)^2 roll factor (see
-    _paint_kernel).
+    ``inner`` picks which axis takes the quadratic roll factor (see
+    _paint_kernel); ``openband`` shrinks the per-axis support to 2B+1
+    offsets for displacements bounded STRICTLY below B (_axis_w_planes).
     """
     mesh_refs = refs[:3 * nmesh]
     dx_r, dy_r, dz_r = refs[3 * nmesh:3 * nmesh + 3]
@@ -176,13 +190,15 @@ def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z"):
     N1 = out_refs[0].shape[1]
     N2 = out_refs[0].shape[2]
     k_id = pl.program_id(1)
+    oxmax = B if openband else B + 1
+    ohi = B + 1 if openband else B + 2
 
     @pl.when(k_id == 0)
     def _():
         for o in out_refs:
             o[:] = jnp.zeros(o.shape, dtype)
 
-    for k in range(2 * B + 2):
+    for k in range(oxmax + B + 1):
         @pl.when(k_id == k)
         def _(k=k):
             ox = k - B
@@ -193,27 +209,27 @@ def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z"):
             flz, frz = _floor_frac(dz_r[:])
             accs = [None] * nmesh
             if inner == "z":
-                wzs = _axis_w_planes(dz_r[:], B, dtype)
-                for oy in range(-B, B + 2):
+                wzs = _axis_w_planes(dz_r[:], B, dtype, openband)
+                for oy in range(-B, ohi):
                     # mesh value at (ly + oy) lands at particle row ly:
                     # roll by -oy
                     wxy = wx * _w_from(fly, fry, oy, dtype)
                     for m in range(nmesh):
                         R = pltpu.roll(Mxs[m], (-oy) % N1, 1)
                         s = None
-                        for iz, oz in enumerate(range(-B, B + 2)):
+                        for iz, oz in enumerate(range(-B, ohi)):
                             t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
                             s = t if s is None else s + t
                         t = wxy * s
                         accs[m] = t if accs[m] is None else accs[m] + t
             else:
-                wys = _axis_w_planes(dy_r[:], B, dtype)
-                for oz in range(-B, B + 2):
+                wys = _axis_w_planes(dy_r[:], B, dtype, openband)
+                for oz in range(-B, ohi):
                     wxz = wx * _w_from(flz, frz, oz, dtype)
                     for m in range(nmesh):
                         Z = pltpu.roll(Mxs[m], (-oz) % N2, 2)
                         s = None
-                        for iy, oy in enumerate(range(-B, B + 2)):
+                        for iy, oy in enumerate(range(-B, ohi)):
                             t = wys[iy] * pltpu.roll(Z, (-oy) % N1, 1)
                             s = t if s is None else s + t
                         t = wxz * s
@@ -244,13 +260,16 @@ def _pick_bx(N: int, B: int) -> int:
     return bx
 
 
-@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
+@partial(jax.jit, static_argnames=("B", "interpret", "inner", "openband"))
 def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
-                             interpret: bool = False, inner: str = "z"):
+                             interpret: bool = False, inner: str = "z",
+                             openband: bool = False):
     """Fused CIC paint of lattice-ordered particles (see module docstring).
 
     Parameters:
-        disp: (N, N, N, 3) wrapped displacements in cell units, |disp|<=B.
+        disp: (N, N, N, 3) wrapped displacements in cell units, |disp|<=B
+            (|disp| < B STRICTLY when ``openband`` — 2B+1 offsets per
+            axis instead of 2B+2, a 1.5-2.4x term-count saving).
         B: static displacement bound in cells.
         weights: optional (N, N, N) per-particle weights.
 
@@ -287,8 +306,9 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
         specs += [spec(-1), spec(0), spec(1)]
 
     return pl.pallas_call(
-        partial(_paint_kernel, B=B, bx=bx, weighted=weighted, inner=inner),
-        grid=(nblk, 2 * B + 2),
+        partial(_paint_kernel, B=B, bx=bx, weighted=weighted, inner=inner,
+                openband=openband),
+        grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=specs,
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -300,9 +320,10 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
     )(*args)
 
 
-@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
+@partial(jax.jit, static_argnames=("B", "interpret", "inner", "openband"))
 def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
-                              interpret: bool = False, inner: str = "z"):
+                              interpret: bool = False, inner: str = "z",
+                              openband: bool = False):
     """Fused CIC interpolation at lattice-ordered particle positions.
 
     Parameters:
@@ -335,8 +356,9 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
                        memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_gather_kernel, B=B, bx=bx, nmesh=1, inner=inner),
-        grid=(nblk, 2 * B + 2),
+        partial(_gather_kernel, B=B, bx=bx, nmesh=1, inner=inner,
+                openband=openband),
+        grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=[spec(-1), spec(0), spec(1), own, own, own],
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -348,9 +370,10 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
     )(mesh, mesh, mesh, dx, dy, dz)
 
 
-@partial(jax.jit, static_argnames=("B", "interpret", "inner"))
+@partial(jax.jit, static_argnames=("B", "interpret", "inner", "openband"))
 def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
-                               interpret: bool = False, inner: str = "z"):
+                               interpret: bool = False, inner: str = "z",
+                               openband: bool = False):
     """Fused CIC interpolation of THREE meshes at the same lattice-ordered
     particle positions (the PM force components, fields/cola.py).
 
@@ -391,8 +414,9 @@ def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_gather_kernel, B=B, bx=bx, nmesh=3, inner=inner),
-        grid=(nblk, 2 * B + 2),
+        partial(_gather_kernel, B=B, bx=bx, nmesh=3, inner=inner,
+                openband=openband),
+        grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=[spec(-1), spec(0), spec(1)] * 3 + [own, own, own],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((N, N, N), ma.dtype)

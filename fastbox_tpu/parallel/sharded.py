@@ -187,7 +187,10 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         amp = jnp.sqrt(jnp.nan_to_num(pk_fn(kmag_loc)) * dtype.type(boxfactor))
         delta_k = white_h * amp[None]                  # (B, Np, N, H)
         delta_x = pirfft3_local(delta_k, N, "space",
-                                precision=config.mm3d_precision).astype(dtype)
+                                precision=(config.dx_precision
+                                           if config.dx_precision is not None
+                                           else config.mm3d_precision)
+                                ).astype(dtype)
 
         # --- (2) bias + lognormal (global mean over the cube) --------
         e = jnp.exp(delta_x * dtype.type(bias))
@@ -300,7 +303,10 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         # --- (8) binned P(k): cleaned cube + underlying density ------
         # Half-spectrum reduction with kz multiplicity weights: exactly the
         # full-grid mean/stddev convention of box.py:696-768.
-        ck = prfft3_local(cleaned, "space", precision=config.mm3d_precision)
+        ck = prfft3_local(cleaned, "space",
+                          precision=(config.fwd_precision
+                                     if config.fwd_precision is not None
+                                     else config.mm3d_precision))
         p_clean = (ck * jnp.conj(ck)).real / dtype.type(boxfactor)
         p_dens = (delta_k * jnp.conj(delta_k)).real / dtype.type(boxfactor)
         if bin_thr is not None:

@@ -122,6 +122,16 @@ class PipelineConfig:
     # pipeline (101.0 -> 92.7 pipelines/s at 256^3).  DEFAULT ships;
     # set HIGHEST for accuracy-critical low-k work.
     vel_precision: str | None = "DEFAULT"
+    # Separate einsum precisions for the OTHER two big transforms —
+    # the delta_x inverse (``dx_precision``) and the cleaned-cube
+    # forward (``fwd_precision``) — None inherits mm3d_precision.
+    # Added in round 4 to gate the DEFAULT (single-pass bf16) tier per
+    # transform now that the FG poly fix removed the former dominant
+    # error: truth-gated AT 256^3 (TRUTH_GATE_256_R4B.json, see
+    # scripts/truth_gate.py variants dx_default / fwd_default /
+    # mm3d_default).
+    dx_precision: str | None = None
+    fwd_precision: str | None = None
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
     # f32 vs f64, so an f64 run is normally a different REALISATION and can
@@ -178,6 +188,18 @@ class PipelineConfig:
     # probe use only — the extra outputs force materialisation and cost
     # ~30 s of tunnel download at 256^3.
     debug_stages: bool = False
+    # Chained-pipeline eigh hoist: the per-realisation (Nfreq, Nfreq)
+    # eigh is the one latency-bound op in the scan body (~1.6-2.6 ms of
+    # the ~10 ms 256^3 pipeline — it iterates on a tiny matrix while the
+    # MXU idles).  'auto' (default) makes make_chained_pipeline run the
+    # chain as scan(realise..covariance) -> ONE batched eigh over the K
+    # stacked covariances -> scan(project-clean..P(k)) on TPU — the
+    # same exact estimator (jnp.linalg.eigh, just batched), bit-equal
+    # on CPU (tests/test_pipeline_hoist.py) and admitted by the 256^3
+    # truth-gate class.  Costs K extra cube materialisations in HBM
+    # (data + |delta_k|^2: ~1.5 GB at 256^3 chain=16, ~4.6 GB at 512^3
+    # chain=6).  'on' forces it everywhere, 'off' disables.
+    eigh_hoist: str = "auto"
     # Bits->normal transform for the threefry density half-spectrum draw
     # (step 1, 'half' scheme only): 'erfinv' (jax.random.normal, the
     # stream every committed oracle expectation uses) or 'box_muller'
@@ -364,7 +386,15 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     ddt = jnp.dtype(config.draw_dtype) if config.draw_dtype else dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
-    def fn_inner(key, amp_half, bin_idx):
+    def fn_pre(key, amp_half, want_cov=False):
+        """Stages (1)-(7b): realise through the instrument response.
+
+        Returns a dict with the data cube, the density power half-cube
+        and summary scalars; with ``want_cov`` also the frequency-
+        frequency covariance (the eigh-hoist path computes the batched
+        eigendecomposition OUTSIDE the chain scan — see
+        PipelineConfig.eigh_hoist).
+        """
         from .parallel.rng import (TAGS, default_row_method,
                                    row_complex_normal, row_normal)
         _rm = default_row_method(grid.N)
@@ -423,7 +453,9 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         else:
             delta_x = fft_safe.irfftn(
                 delta_k, s=grid.shape,
-                precision=config.mm3d_precision).astype(dtype)
+                precision=(config.dx_precision
+                           if config.dx_precision is not None
+                           else config.mm3d_precision)).astype(dtype)
             vel_z = fft_safe.irfftn(
                 vz_k, s=grid.shape,
                 precision=(config.vel_precision
@@ -532,10 +564,54 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             data = fft_safe.irfft(dkz * T[None, None, :], n=grid.N,
                                   axis=2).astype(dtype)
 
+        boxf = jnp.asarray(grid.boxfactor, dtype)
+        pre = {
+            "data": data,
+            "p_dens": (delta_k * jnp.conj(delta_k)).real / boxf,
+            "sigma_data": jnp.std(data),
+        }
+        if want_cov:
+            # np.cov with ddof=1, HIGHEST GEMM — exactly pca_filter's
+            # covariance (filters/pca.py): the hoisted path must feed the
+            # batched eigh the same matrix the in-line path builds.
+            d2 = data.reshape((-1, data.shape[-1])).T
+            x = d2 - jnp.mean(d2, axis=-1, keepdims=True)
+            pre["cov"] = jnp.matmul(
+                x, x.T, precision=jax.lax.Precision.HIGHEST
+            ) / (d2.shape[1] - 1)
+        if config.debug_stages:
+            pre.update(delta_x=delta_x, vel_z=vel_z, delta_s=delta_s)
+            if config.include_foregrounds:
+                pre.update(fg_cube=fg_cube, fg_map=fg_map,
+                           alpha_map=alpha_map)
+        return pre
+
+    def fn_post(pre, U, bin_idx):
+        """Stages (8)-(9): PCA clean and binned spectra.
+
+        ``U = None`` computes the eigendecomposition inline (the plain
+        single-shot path, via filters.pca); a precomputed ``U`` (the
+        top-modes eigenvector block from the hoisted batched eigh)
+        applies the identical projection clean without it.
+        """
+        data = pre["data"]
+
         # (8) PCA clean: exact eigh by default; block-power subspace
         # iteration is the opt-in perf knob (pca_exact=False — approximate
         # when trailing modes are degenerate, see PipelineConfig)
-        if config.pca_exact:
+        if U is not None:
+            # Projection clean with the hoisted eigenvectors — the same
+            # arithmetic (and HIGHEST GEMMs) as filters.pca.pca_filter.
+            prec = jax.lax.Precision.HIGHEST
+            shape = data.shape
+            d2 = data.reshape((-1, shape[-1])).T
+            d_mean = jnp.mean(d2, axis=-1, keepdims=True)
+            x = d2 - d_mean
+            fg_amps = jnp.matmul(U.T, x, precision=prec)
+            fg_field = (jnp.matmul(U, fg_amps, precision=prec)
+                        + d_mean).T.reshape(shape)
+            cleaned = data - fg_field
+        elif config.pca_exact:
             cleaned = pca_filter(data, config.pca_nmodes)
         else:
             from .filters.pca import pca_filter_subspace
@@ -547,9 +623,12 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # full-grid convention of box.py:696-768; both cubes share one
         # histogram pass)
         boxf = jnp.asarray(grid.boxfactor, dtype)
-        ck = fft_safe.rfftn(cleaned, precision=config.mm3d_precision)
+        ck = fft_safe.rfftn(cleaned,
+                            precision=(config.fwd_precision
+                                       if config.fwd_precision is not None
+                                       else config.mm3d_precision))
         p_clean = (ck * jnp.conj(ck)).real / boxf
-        p_dens = (delta_k * jnp.conj(delta_k)).real / boxf
+        p_dens = pre["p_dens"]
         if use_pallas_pk:
             from .ops.pallas.binned_pk import binned_pk_half_dual_pallas
 
@@ -573,20 +652,25 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             "pk_cleaned": pk_clean,
             "pk_cleaned_err": pk_err,
             "pk_density": pk_dens,
-            "sigma_data": jnp.std(data),
+            "sigma_data": pre["sigma_data"],
         }
         if config.debug_stages:
             out.update(
-                delta_x=delta_x, vel_z=vel_z, delta_s=delta_s,
+                {n: pre[n] for n in ("delta_x", "vel_z", "delta_s")},
                 data=data, cleaned=cleaned,
                 ck_power=p_clean,
             )
             if config.include_foregrounds:
-                out["fg_cube"] = fg_cube
-                out["fg_map"] = fg_map
-                out["alpha_map"] = alpha_map
+                out["fg_cube"] = pre["fg_cube"]
+                out["fg_map"] = pre["fg_map"]
+                out["alpha_map"] = pre["alpha_map"]
         return out
 
+    def fn_inner(key, amp_half, bin_idx):
+        return fn_post(fn_pre(key, amp_half), None, bin_idx)
+
+    fn_inner.pre = fn_pre
+    fn_inner.post = fn_post
     return fn_inner, (amp_half, bin_idx_arg)
 
 
@@ -616,6 +700,42 @@ def make_chained_pipeline(grid: GridSpec, cosmology: Cosmology,
     probed native FFTs lower exactly as in the single-shot pipeline.
     """
     fn_inner, consts = _build_pipeline(grid, cosmology, config)
+
+    if config.eigh_hoist not in ("auto", "on", "off"):
+        raise ValueError(f"Unknown eigh_hoist '{config.eigh_hoist}'")
+    use_hoist = (config.pca_exact and not config.debug_stages
+                 and (config.eigh_hoist == "on"
+                      or (config.eigh_hoist == "auto"
+                          and jax.default_backend() == "tpu")))
+
+    if use_hoist:
+        # Two scans around ONE batched eigh (PipelineConfig.eigh_hoist):
+        # the per-realisation (Nfreq, Nfreq) eigh is latency-bound inside
+        # the scan body (the MXU idles while it iterates on a tiny
+        # matrix); hoisting turns K sequential eighs into one batched
+        # decomposition.  Same estimator, same HIGHEST GEMMs — phase B
+        # applies the identical projection clean.
+        nmodes = config.pca_nmodes
+
+        @jax.jit
+        def chained(keys, amp_half, bin_idx):
+            def body_a(carry, key):
+                return carry, fn_inner.pre(key, amp_half, want_cov=True)
+
+            _, pre = jax.lax.scan(body_a, None, keys)
+            cov = pre.pop("cov")
+            _, vecs = jnp.linalg.eigh(cov)          # (K, C, C), ascending
+            pre["U"] = vecs[:, :, ::-1][:, :, :nmodes]
+
+            def body_b(carry, xs):
+                U = xs["U"]
+                rest = {k: v for k, v in xs.items() if k != "U"}
+                return carry, fn_inner.post(rest, U, bin_idx)
+
+            _, outs = jax.lax.scan(body_b, None, pre)
+            return outs
+
+        return lambda keys: chained(keys, *consts)
 
     @jax.jit
     def chained(keys, amp_half, bin_idx):

@@ -54,12 +54,28 @@ def timed(name, fn, *args):
 
 
 VARIANTS = os.environ.get("VARIANTS", "z,y,g3z,g3y").split(",")
+BANDS = tuple(int(b) for b in os.environ.get("BANDS", "2,3").split(","))
 
-for B in (2, 3):
+for B in BANDS:
     d = jnp.clip(disp, -(B - 0.1), B - 0.1)
 
     paint = jax.jit(lambda dd, B=B: cic_paint_lattice_pallas(dd, B=B))
     mesh = timed(f"paint  B={B}", paint, d)
+    if "open" in VARIANTS:
+        paint_o = jax.jit(lambda dd, B=B: cic_paint_lattice_pallas(
+            dd, B=B, openband=True))
+        mesh_o = timed(f"paint  B={B} openband", paint_o, d)
+        err = float(jnp.max(jnp.abs(mesh_o - mesh)))
+        print(f"  paint B={B} openband max|err| vs closed: {err:.2e}",
+              flush=True)
+        gather_o = jax.jit(lambda m, dd, B=B: cic_gather_lattice_pallas(
+            m, dd, B=B, openband=True))
+        timed(f"gather B={B} openband", gather_o, mesh, d)
+        from fastbox_tpu.ops.pallas.lattice_cic import (
+            cic_gather3_lattice_pallas as _g3o)
+        g3o = jax.jit(lambda m, dd, B=B: _g3o((m, m, m), dd, B=B,
+                                              openband=True)[0])
+        timed(f"gather3 B={B} openband (3 meshes)", g3o, mesh, d)
     if "y" in VARIANTS:
         paint_y = jax.jit(
             lambda dd, B=B: cic_paint_lattice_pallas(dd, B=B, inner="y"))

@@ -93,6 +93,30 @@ def main():
                                                  edges.astype(jnp.float32)),
             xr)
 
+    # Lattice CIC kernels (fields/cola.py engine): open-band (round 4,
+    # 2B+1 offsets/axis, the strict-ladder fast path) and closed-band.
+    from fastbox_tpu.ops.pallas.lattice_cic import (
+        cic_gather3_lattice_pallas,
+        cic_gather_lattice_pallas,
+        cic_paint_lattice_pallas,
+    )
+
+    NL = 256
+    dl = jnp.zeros((NL, NL, NL, 3), jnp.float32)
+    ml = jnp.zeros((NL, NL, NL), jnp.float32)
+    for B in (1, 2, 3):
+        for ob in (True, False):
+            tag = "open" if ob else "closed"
+            pre(f"lattice paint B={B} {tag} N={NL}",
+                lambda d, B=B, ob=ob: cic_paint_lattice_pallas(
+                    d, B=B, openband=ob), dl)
+            pre(f"lattice gather B={B} {tag} N={NL}",
+                lambda m, d, B=B, ob=ob: cic_gather_lattice_pallas(
+                    m, d, B=B, openband=ob), ml, dl)
+            pre(f"lattice gather3 B={B} {tag} N={NL}",
+                lambda m, d, B=B, ob=ob: cic_gather3_lattice_pallas(
+                    (m, m, m), d, B=B, openband=ob)[0], ml, dl)
+
     if FAILED:
         print(f"\nPREFLIGHT FAILED: {FAILED}", flush=True)
         sys.exit(1)

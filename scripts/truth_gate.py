@@ -71,10 +71,22 @@ def _build(jax, nsamp, box, redshift):
     return grid, cosmology
 
 
-def _run(jax, grid, cosmology, config, keys):
+def _run(jax, grid, cosmology, config, keys, chained=False):
     import numpy as np
 
-    from fastbox_tpu.pipeline import make_pipeline
+    from fastbox_tpu.pipeline import make_chained_pipeline, make_pipeline
+
+    if chained:
+        # One chained dispatch over all gate keys: exercises the
+        # scan -> batched-eigh -> scan structure production uses
+        # (PipelineConfig.eigh_hoist), which make_pipeline cannot reach.
+        fn = make_chained_pipeline(grid, cosmology, config)
+        kv = jax.numpy.stack([jax.random.PRNGKey(s) for s in keys])
+        out = fn(kv)
+        kcent = np.asarray(out["k"][0], np.float64)
+        return (kcent, np.asarray(out["pk_cleaned"], np.float64),
+                np.asarray(out["pk_density"], np.float64),
+                np.asarray(out["sigma_data"], np.float64))
 
     fn = make_pipeline(grid, cosmology, config)
     pk_c, pk_d, sig = [], [], []
@@ -207,6 +219,27 @@ def cmd_check(args):
         "vel_high_all_highest": (dict(mm3d_precision="HIGHEST",
                                       vel_precision="HIGH"),
                                  True, None, False),
+        # Round-4 perf frontier: the DEFAULT (single-pass bf16) tier per
+        # big transform, re-gated now that fg_spectral='poly' removed the
+        # former dominant error.  HIGH->DEFAULT cuts each transform's
+        # matmul cost ~3x; the question is whether the bf16 rounding of
+        # the delta_x inverse (first-order in the field) and of the
+        # cleaned-cube forward (directly shapes pk_cleaned) stays in the
+        # admissible class.
+        # Round-4 chained-eigh hoist (PipelineConfig.eigh_hoist): the
+        # shipping knob stack run through make_chained_pipeline with the
+        # batched eigh — algorithm-identical (f64 chain agrees to 5e-13,
+        # tests/test_pipeline_hoist.py), so this gates only the f32
+        # reordering scatter.
+        "eigh_hoist": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                            eigh_hoist="on", _chained=True),
+                       True, None, False),
+        "mm3d_default": (dict(mm3d_precision="DEFAULT",
+                              vel_precision="DEFAULT"), True, None, False),
+        "dx_default": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                            dx_precision="DEFAULT"), True, None, False),
+        "fwd_default": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                             fwd_precision="DEFAULT"), True, None, False),
         # Compensated split-f32 weights (Dekker hi+lo pair, two HIGHEST
         # einsums) on the three big 3D transforms — the round-4 accuracy
         # experiment: removes the f32 weight-representation error, leaving
@@ -231,6 +264,8 @@ def cmd_check(args):
 
     results = {}
     for name, (kw, prefer_mm, prec, pallas_dft) in variants.items():
+        kw = dict(kw)
+        chained = kw.pop("_chained", False)
         variant_dm = kw.get("draw_method", "erfinv")
         if variant_dm != truth_dm:
             print(f"[check] {name:16s} SKIPPED: variant draw_method="
@@ -247,7 +282,8 @@ def cmd_check(args):
         jax.clear_caches()
         try:
             _, c, dd, s = _run(jax, grid, cosmology,
-                               _gate_config("float32", **kw), keys)
+                               _gate_config("float32", **kw), keys,
+                               chained=chained)
         except Exception as e:
             # A failed op POISONS the TPU client (CLAUDE.md): every later
             # variant would report the same stale error as a misleading

@@ -102,6 +102,49 @@ def test_pallas_kernels_match_xla_rolls(rng):
     assert np.abs(np.asarray(g_ref) - np.asarray(g_pl)).max() < 1e-5
 
 
+def test_pallas_openband_matches_closed(rng):
+    """Open-band kernels (2B+1 offsets per axis, valid for |d| < B
+    STRICTLY — the cola ladder's guarantee) must equal the closed-band
+    kernels and the XLA-roll oracle on strictly-bounded displacements."""
+    from fastbox_tpu.ops.pallas.lattice_cic import (
+        cic_gather3_lattice_pallas,
+        cic_gather_lattice_pallas,
+        cic_paint_lattice_pallas,
+    )
+
+    for N, B in ((8, 1), (16, 2), (16, 3)):
+        # Strict interior draw: |d| <= 0.999 B < B.
+        disp = rng.uniform(-0.999 * B, 0.999 * B, size=(N, N, N, 3))
+        idx = np.stack(np.meshgrid(*(np.arange(N),) * 3, indexing="ij"),
+                       axis=-1)
+        u = (idx + disp) % N
+        d = wrapped_displacement(jnp.asarray(u, jnp.float32), N)
+        w = jnp.asarray(rng.uniform(0.5, 2.0,
+                                    size=(N, N, N)).astype(np.float32))
+        meshes = tuple(jnp.asarray(
+            rng.standard_normal((N, N, N)).astype(np.float32))
+            for _ in range(3))
+
+        p_ref = cic_paint_lattice(d.astype(jnp.float64), B=B,
+                                  weights=w.astype(jnp.float64))
+        p_o = cic_paint_lattice_pallas(d, B=B, weights=w, interpret=True,
+                                       openband=True)
+        assert np.abs(np.asarray(p_ref) - np.asarray(p_o)).max() < 1e-4
+
+        g_ref = cic_gather_lattice(meshes[0].astype(jnp.float64),
+                                   d.astype(jnp.float64), B=B)
+        g_o = cic_gather_lattice_pallas(meshes[0], d, B=B, interpret=True,
+                                        openband=True)
+        assert np.abs(np.asarray(g_ref) - np.asarray(g_o)).max() < 1e-5
+
+        g3 = cic_gather3_lattice_pallas(meshes, d, B=B, interpret=True,
+                                        openband=True)
+        for m, got in zip(meshes, g3):
+            ref = cic_gather_lattice(m.astype(jnp.float64),
+                                     d.astype(jnp.float64), B=B)
+            assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
 def test_cola_lattice_matches_scatter_path():
     """Full COLA evolution: lattice CIC and scatter CIC give the same field
     (identical operators, different summation order only)."""
