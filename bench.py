@@ -143,6 +143,18 @@ def main():
                          "transform only (default inherits "
                          "--mm3d-precision; truth-gate variant "
                          "'fwd_default')")
+    ap.add_argument("--pca-precision", default=None,
+                    choices=["DEFAULT", "HIGH", "HIGHEST"],
+                    help="einsum precision for the PCA covariance/"
+                         "projection GEMMs (default HIGHEST; HIGH is "
+                         "the round-4 gate candidate, variant "
+                         "'pca_high')")
+    ap.add_argument("--pallas-pk", default=None,
+                    choices=["auto", "on", "off", "v2", "v2t"],
+                    help="binned-P(k) reduction backend "
+                         "(PipelineConfig.pallas_pk): v2 = hoisted-"
+                         "counts kernel (bit-identical sums), v2t = "
+                         "telescoped digitize (gate first)")
     ap.add_argument("--eigh-hoist", default=None,
                     choices=["auto", "on", "off"],
                     help="chained-pipeline batched-eigh hoist "
@@ -204,6 +216,11 @@ def main():
         config = dataclasses.replace(config, fwd_precision=args.fwd_precision)
     if args.eigh_hoist is not None:
         config = dataclasses.replace(config, eigh_hoist=args.eigh_hoist)
+    if args.pca_precision is not None:
+        config = dataclasses.replace(config,
+                                     pca_precision=args.pca_precision)
+    if args.pallas_pk is not None:
+        config = dataclasses.replace(config, pallas_pk=args.pallas_pk)
     if args.chain is None:
         args.chain = 16 if args.nsamp <= 256 else 6
     if args.batch > 1:
@@ -269,6 +286,8 @@ def main():
         "dx_precision": config.dx_precision,
         "fwd_precision": config.fwd_precision,
         "eigh_hoist": config.eigh_hoist,
+        "pca_precision": config.pca_precision,
+        "pallas_pk": config.pallas_pk,
         "draw_method": config.draw_method,
     }))
 

@@ -28,14 +28,17 @@ def mean_spectrum_filter(field):
     return (d - jnp.mean(d, axis=0, keepdims=True)).reshape(field.shape)
 
 
-@partial(jax.jit, static_argnames=("nmodes", "return_filter"))
-def pca_filter(field, nmodes: int, return_filter: bool = False):
+@partial(jax.jit, static_argnames=("nmodes", "return_filter", "precision"))
+def pca_filter(field, nmodes: int, return_filter: bool = False,
+               precision: str | None = None):
     """Subtract the top-``nmodes`` frequency eigenmodes (filters.py:93-183).
 
     Parameters:
         field: (Nx, Ny, Nfreq) datacube; last axis is frequency.
         nmodes: number of eigenmodes (by descending eigenvalue) to remove.
         return_filter: also return (U_fg, fg_amps) like the reference.
+        precision: einsum precision name for the covariance/projection
+            GEMMs; None -> HIGHEST (the truth-gated default, see below).
 
     Returns:
         cleaned_field, and optionally (U_fg (Nfreq, nmodes),
@@ -48,14 +51,16 @@ def pca_filter(field, nmodes: int, return_filter: bool = False):
     d_mean = jnp.mean(d, axis=-1, keepdims=True)
     x = d - d_mean
 
-    # np.cov with ddof=1 (rows already mean-free).  These three GEMMs run
-    # at HIGHEST precision: at DEFAULT the MXU does a single bf16 pass,
-    # and that rounding alone moved the PCA-cleaned P(k) low bins ~4e-2
-    # relative to the f64 oracle on the same realisation — 14x the f32
-    # conditioning floor — while HIGHEST sits at the floor
-    # (scripts/truth_gate.py, TRUTH_GATE.json).  Cost: the (C, Npix, C)
-    # covariance GEMM is ~1% of the pipeline even 6-passed.
-    prec = jax.lax.Precision.HIGHEST
+    # np.cov with ddof=1 (rows already mean-free).  These three GEMMs
+    # default to HIGHEST precision: at DEFAULT the MXU does a single bf16
+    # pass, and that rounding alone moved the PCA-cleaned P(k) low bins
+    # ~4e-2 relative to the f64 oracle on the same realisation — 14x the
+    # f32 conditioning floor — while HIGHEST sits at the floor
+    # (scripts/truth_gate.py, TRUTH_GATE.json).  The HIGH tier (bf16x3,
+    # ~2.4e-7/element vs DEFAULT's ~2e-3) is a round-4 gate candidate
+    # (PipelineConfig.pca_precision, variant 'pca_high').
+    prec = (jax.lax.Precision.HIGHEST if precision is None
+            else getattr(jax.lax.Precision, precision))
     cov = jnp.matmul(x, x.T, precision=prec) / (npix - 1)
 
     eigvals, eigvecs = eigh(cov)          # ascending

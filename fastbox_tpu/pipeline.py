@@ -132,6 +132,13 @@ class PipelineConfig:
     # mm3d_default).
     dx_precision: str | None = None
     fwd_precision: str | None = None
+    # Einsum precision for the PCA covariance/projection GEMMs
+    # (filters/pca.py).  None/"HIGHEST" is the round-3 truth-gate
+    # finding (DEFAULT failed at 4.2e-2 — cleaned low bins amplify
+    # PCA-side rounding ~1000x); "HIGH" (bf16x3, ~2.4e-7/element) is
+    # the round-4 candidate gated by variant 'pca_high'
+    # (scripts/truth_gate.py) — halves the GEMM cost if admitted.
+    pca_precision: str | None = None
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
     # f32 vs f64, so an f64 run is normally a different REALISATION and can
@@ -188,18 +195,22 @@ class PipelineConfig:
     # probe use only — the extra outputs force materialisation and cost
     # ~30 s of tunnel download at 256^3.
     debug_stages: bool = False
-    # Chained-pipeline eigh hoist: the per-realisation (Nfreq, Nfreq)
-    # eigh is the one latency-bound op in the scan body (~1.6-2.6 ms of
-    # the ~10 ms 256^3 pipeline — it iterates on a tiny matrix while the
-    # MXU idles).  'auto' (default) makes make_chained_pipeline run the
-    # chain as scan(realise..covariance) -> ONE batched eigh over the K
-    # stacked covariances -> scan(project-clean..P(k)) on TPU — the
-    # same exact estimator (jnp.linalg.eigh, just batched), bit-equal
-    # on CPU (tests/test_pipeline_hoist.py) and admitted by the 256^3
-    # truth-gate class.  Costs K extra cube materialisations in HBM
-    # (data + |delta_k|^2: ~1.5 GB at 256^3 chain=16, ~4.6 GB at 512^3
-    # chain=6).  'on' forces it everywhere, 'off' disables.
-    eigh_hoist: str = "auto"
+    # Chained-pipeline eigh hoist: run the chain as
+    # scan(realise..covariance) -> ONE batched eigh over the K stacked
+    # covariances -> scan(project-clean..P(k)).  The same exact
+    # estimator (jnp.linalg.eigh, merely batched: f64 chains agree to
+    # 5e-13, tests/test_pipeline_hoist.py) and gate-admitted at 256^3
+    # (TRUTH_GATE_256_R4C.json: 9.8e-3 vs the 9.1e-3 incumbent class)
+    # — but a measured composition LOSER on this backend (round-4c
+    # A/B): 100.2 vs 102.0 pipelines/s at 256^3, 9.25 vs 9.72 at 512^3.
+    # The batched QDWH eigh does not amortise K small decompositions
+    # enough to beat the structure tax (K extra cube materialisations:
+    # data + |delta_k|^2 stacks, plus the severed producer fusions at
+    # the scan boundary — the same ~1%%-per-boundary pattern as the
+    # Pallas draw kernels, docs/tpu_timings.md).  Default 'off'; 'on'
+    # forces it (useful off-TPU or at future chain lengths), 'auto'
+    # currently resolves to 'off' everywhere.
+    eigh_hoist: str = "off"
     # Bits->normal transform for the threefry density half-spectrum draw
     # (step 1, 'half' scheme only): 'erfinv' (jax.random.normal, the
     # stream every committed oracle expectation uses) or 'box_muller'
@@ -317,11 +328,30 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         kx2_b, ky2_b, kz2_b = None, None, None      # built from kvec below
         edges2_j = jnp.asarray(kbins_edges.astype(np.float64) ** 2, dtype)
 
-    if config.pallas_pk not in ("auto", "on", "off"):
+    if config.pallas_pk not in ("auto", "on", "off", "v2", "v2t"):
         raise ValueError(f"Unknown pallas_pk '{config.pallas_pk}'")
-    use_pallas_pk = (config.pallas_pk == "on"
+    use_pallas_pk = (config.pallas_pk in ("on", "v2", "v2t")
                      or (config.pallas_pk == "auto"
                          and jax.default_backend() == "tpu"))
+    # v2 kernel (ops/pallas/binned_pk_v2.py): drops the in-kernel count
+    # pass — the weighted bin populations are pure geometry, precomputed
+    # EXACTLY below on the integer lattice.  Cubic-exact grids only
+    # (falls back to v1 elsewhere); 'v2t' additionally telescopes the
+    # digitize (prefix differences — a different summation order, gate
+    # before shipping).
+    use_pk_v2 = config.pallas_pk in ("v2", "v2t") and _thr is not None
+    cnt_v2_j = None
+    if use_pallas_pk and use_pk_v2:
+        _w_plane = np.broadcast_to(kz_weight[None, :],
+                                   (grid.N, H)).ravel()
+        _cnt = np.zeros(nb + 1, np.float64)
+        for _i in range(grid.N):
+            _m = (int(_fi2[_i]) + _fi2[:, None].astype(np.int64)
+                  + _fi2[:H][None, :].astype(np.int64))
+            _idx = np.searchsorted(_thr, _m.ravel(), side="right")
+            _cnt += np.bincount(_idx, weights=_w_plane,
+                                minlength=nb + 1)[:nb + 1]
+        cnt_v2_j = jnp.asarray(_cnt[:nb], dtype)
     _pk_interpret = jax.default_backend() != "tpu"  # CPU: Pallas interpreter
 
     if use_pallas_pk:
@@ -385,6 +415,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
 
     ddt = jnp.dtype(config.draw_dtype) if config.draw_dtype else dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    _pca_prec = (jax.lax.Precision.HIGHEST if config.pca_precision is None
+                 else getattr(jax.lax.Precision, config.pca_precision))
 
     def fn_pre(key, amp_half, want_cov=False):
         """Stages (1)-(7b): realise through the instrument response.
@@ -571,14 +603,14 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             "sigma_data": jnp.std(data),
         }
         if want_cov:
-            # np.cov with ddof=1, HIGHEST GEMM — exactly pca_filter's
-            # covariance (filters/pca.py): the hoisted path must feed the
-            # batched eigh the same matrix the in-line path builds.
+            # np.cov with ddof=1 — exactly pca_filter's covariance
+            # (filters/pca.py, same pca_precision resolution): the
+            # hoisted path must feed the batched eigh the same matrix
+            # the in-line path builds.
             d2 = data.reshape((-1, data.shape[-1])).T
             x = d2 - jnp.mean(d2, axis=-1, keepdims=True)
-            pre["cov"] = jnp.matmul(
-                x, x.T, precision=jax.lax.Precision.HIGHEST
-            ) / (d2.shape[1] - 1)
+            pre["cov"] = jnp.matmul(x, x.T, precision=_pca_prec) \
+                / (d2.shape[1] - 1)
         if config.debug_stages:
             pre.update(delta_x=delta_x, vel_z=vel_z, delta_s=delta_s)
             if config.include_foregrounds:
@@ -601,8 +633,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
         # when trailing modes are degenerate, see PipelineConfig)
         if U is not None:
             # Projection clean with the hoisted eigenvectors — the same
-            # arithmetic (and HIGHEST GEMMs) as filters.pca.pca_filter.
-            prec = jax.lax.Precision.HIGHEST
+            # arithmetic (and GEMM precision) as filters.pca.pca_filter.
+            prec = _pca_prec
             shape = data.shape
             d2 = data.reshape((-1, shape[-1])).T
             d_mean = jnp.mean(d2, axis=-1, keepdims=True)
@@ -612,7 +644,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                         + d_mean).T.reshape(shape)
             cleaned = data - fg_field
         elif config.pca_exact:
-            cleaned = pca_filter(data, config.pca_nmodes)
+            cleaned = pca_filter(data, config.pca_nmodes,
+                                 precision=config.pca_precision)
         else:
             from .filters.pca import pca_filter_subspace
 
@@ -629,7 +662,15 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                                        else config.mm3d_precision))
         p_clean = (ck * jnp.conj(ck)).real / boxf
         p_dens = pre["p_dens"]
-        if use_pallas_pk:
+        if use_pallas_pk and use_pk_v2:
+            from .ops.pallas.binned_pk_v2 import binned_pk_half_dual_pallas_v2
+
+            s1, q1, s2 = binned_pk_half_dual_pallas_v2(
+                p_clean, p_dens, kx2_b, ky2_b, kz2_b, kzw_j, edges2_j,
+                telescoped=config.pallas_pk == "v2t",
+                interpret=_pk_interpret)
+            cnt = cnt_v2_j
+        elif use_pallas_pk:
             from .ops.pallas.binned_pk import binned_pk_half_dual_pallas
 
             s1, q1, s2, cnt = binned_pk_half_dual_pallas(
@@ -703,10 +744,10 @@ def make_chained_pipeline(grid: GridSpec, cosmology: Cosmology,
 
     if config.eigh_hoist not in ("auto", "on", "off"):
         raise ValueError(f"Unknown eigh_hoist '{config.eigh_hoist}'")
+    # 'auto' resolves to OFF: the hoist measured a composition loss on
+    # TPU in the round-4c A/B (see PipelineConfig.eigh_hoist).
     use_hoist = (config.pca_exact and not config.debug_stages
-                 and (config.eigh_hoist == "on"
-                      or (config.eigh_hoist == "auto"
-                          and jax.default_backend() == "tpu")))
+                 and config.eigh_hoist == "on")
 
     if use_hoist:
         # Two scans around ONE batched eigh (PipelineConfig.eigh_hoist):

@@ -226,6 +226,16 @@ def cmd_check(args):
         # the delta_x inverse (first-order in the field) and of the
         # cleaned-cube forward (directly shapes pk_cleaned) stays in the
         # admissible class.
+        # Round-4: PCA GEMMs at the HIGH tier (bf16x3, ~2.4e-7/element
+        # — vs DEFAULT's ~2e-3 that failed at 4.2e-2 in round 3).
+        # Halves the covariance/projection GEMM cost if admitted.
+        "pca_high": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                          pca_precision="HIGH"), True, None, False),
+        # Round-4 binned-P(k) v2-telescoped (prefix-difference digitize
+        # — a different summation order; v2-plain is bit-identical and
+        # needs no gate).
+        "pk_v2t": (dict(mm3d_precision="HIGH", vel_precision="DEFAULT",
+                        pallas_pk="v2t"), True, None, False),
         # Round-4 chained-eigh hoist (PipelineConfig.eigh_hoist): the
         # shipping knob stack run through make_chained_pipeline with the
         # batched eigh — algorithm-identical (f64 chain agrees to 5e-13,
