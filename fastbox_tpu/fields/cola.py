@@ -113,7 +113,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          lattice_impl: str = "auto",
                          gradient: str = "spectral",
                          fft_precision: str | None = None,
-                         fuse_force_gather: bool | int = False,
+                         fuse_force_gather: bool | int = 2,
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -158,9 +158,13 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
 
     ``fuse_force_gather`` gathers all three PM force components in ONE
     Pallas kernel that shares the CIC weight planes (vs rebuilding them
-    3x).  False (default) keeps the validated per-mesh gathers; True
-    fuses every ladder branch; an int fuses only branches with band
-    <= it (the fused kernel's VMEM working set grows with the band).
+    3x) for ladder branches with band <= it (bool True = every band,
+    False = never).  Default 2 (round 4): the open-band fused gather
+    measures 7.1/37.9 ms for 3 meshes at B=1/2 (256^3) vs 16.3/52 for
+    three separate gathers, but the B=3 branch's scoped-VMEM working
+    set is 124.4 MB — over the 116 MB kernel limit (in-engine compile
+    OOM, campaign round4c step 8; bx cannot shrink below B+1), so wide
+    bands keep the per-mesh gathers.
 
     With ``diagnostics=True`` a third return value carries per-step probe
     arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
