@@ -285,9 +285,13 @@ def make_sharded_ensemble_step(mesh: Mesh, grid: GridSpec, cosmology: Cosmology,
         d2 = data.reshape(B_loc, Np * N, N)  # (B, pix_loc, Nfreq)
         mean_spec = lax.psum(jnp.sum(d2, axis=1), "space") / npix_total
         x = d2 - mean_spec[:, None, :]
-        # HIGHEST-precision GEMMs (see filters/pca.py: bf16 rounding here
-        # moves the cleaned P(k) low bins ~4e-2 vs the f64 oracle)
-        _prec = jax.lax.Precision.HIGHEST
+        # Same pca_precision resolution as the single-chip pipeline
+        # (filters/pca.py: single-pass bf16 here moves the cleaned P(k)
+        # low bins ~4e-2 vs the f64 oracle; the shipping HIGH tier is
+        # gate-admitted, TRUTH_GATE_256_R4D.json)
+        _prec = (jax.lax.Precision.HIGHEST
+                 if config.pca_precision is None
+                 else getattr(jax.lax.Precision, config.pca_precision))
         cov = lax.psum(jnp.einsum("bpf,bpg->bfg", x, x, precision=_prec),
                        "space") / (npix_total - 1)
         if config.pca_exact:

@@ -133,12 +133,16 @@ class PipelineConfig:
     dx_precision: str | None = None
     fwd_precision: str | None = None
     # Einsum precision for the PCA covariance/projection GEMMs
-    # (filters/pca.py).  None/"HIGHEST" is the round-3 truth-gate
-    # finding (DEFAULT failed at 4.2e-2 — cleaned low bins amplify
-    # PCA-side rounding ~1000x); "HIGH" (bf16x3, ~2.4e-7/element) is
-    # the round-4 candidate gated by variant 'pca_high'
-    # (scripts/truth_gate.py) — halves the GEMM cost if admitted.
-    pca_precision: str | None = None
+    # (filters/pca.py).  Round 3 fixed these at HIGHEST after DEFAULT
+    # (single-pass bf16, ~2e-3/element) failed the gate at 4.2e-2 —
+    # the cleaned low bins amplify PCA-side rounding ~1000x.  Round 4
+    # gated the intermediate HIGH tier (bf16x3, ~2.4e-7/element):
+    # 8.04e-3 vs the incumbent's 9.09e-3 under exact binning
+    # (TRUTH_GATE_256_R4D.json) — statistically identical, and the
+    # halved GEMM cost is worth ~3.6%% of the 256^3 pipeline (105.7
+    # vs 102.0 pipelines/s with pallas_pk v2).  "HIGH" ships; None
+    # inherits HIGHEST for maximum-caution standalone work.
+    pca_precision: str | None = "HIGH"
     # Truth-anchoring knobs (scripts/truth_gate.py).  jax.random draws are
     # dtype-dependent (CLAUDE.md): the same key yields different values in
     # f32 vs f64, so an f64 run is normally a different REALISATION and can
@@ -154,11 +158,17 @@ class PipelineConfig:
     # inline in the pipeline — slower, gate-only.
     threefry_noise: bool = False
     # Binned-P(k) reduction backend for step (9): 'auto' uses the fused
-    # Pallas kernel (ops/pallas/binned_pk.py) on TPU and the XLA one-hot
-    # scan elsewhere; 'on'/'off' force it.  The Pallas slab accumulation
-    # is ~1e3x more accurate in f32 (3.9e-7 vs 4.9e-4 max rel err at
+    # Pallas kernel on TPU — the v2 variant (ops/pallas/binned_pk_v2.py,
+    # hoisted exact integer-lattice counts, bit-identical sums) on
+    # cubic-exact grids, v1 (ops/pallas/binned_pk.py) elsewhere — and
+    # the XLA one-hot scan off-TPU; 'on' forces v1, 'v2' forces the
+    # hoisted-counts kernel, 'v2t' additionally telescopes the digitize
+    # (prefix differences; gated at exactly the incumbent class,
+    # TRUTH_GATE_256_R4D.json, but kept opt-in pending a measured win),
+    # 'off' forces the XLA path.  The Pallas slab accumulation is
+    # ~1e3x more accurate in f32 (3.9e-7 vs 4.9e-4 max rel err at
     # 256^3, scripts/check_binned_pk_accuracy.py) and skips the
-    # precomputed searchsorted pass by digitizing |k| in-kernel.
+    # precomputed searchsorted pass by digitizing |k|^2 in-kernel.
     pallas_pk: str = "auto"
     # Density-draw backend for step (1): 'off' (default) keeps the
     # platform-deterministic threefry+erfinv half-spectrum draw;
@@ -339,7 +349,10 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     # (falls back to v1 elsewhere); 'v2t' additionally telescopes the
     # digitize (prefix differences — a different summation order, gate
     # before shipping).
-    use_pk_v2 = config.pallas_pk in ("v2", "v2t") and _thr is not None
+    use_pk_v2 = (config.pallas_pk in ("v2", "v2t")
+                 or (config.pallas_pk == "auto"
+                     and jax.default_backend() == "tpu")) \
+        and _thr is not None
     cnt_v2_j = None
     if use_pallas_pk and use_pk_v2:
         _w_plane = np.broadcast_to(kz_weight[None, :],
