@@ -222,7 +222,10 @@ def main():
     if args.pallas_pk is not None:
         config = dataclasses.replace(config, pallas_pk=args.pallas_pk)
     if args.chain is None:
-        args.chain = 16 if args.nsamp <= 256 else 6
+        # 512^3: chain=7 is the measured optimum with the round-4 body
+        # (10.03 vs 9.98 at chain=6, pca HIGH + binned-pk v2); the scan
+        # live set shrank enough to move the knee up from 6.
+        args.chain = 16 if args.nsamp <= 256 else 7
     if args.batch > 1:
         from fastbox_tpu.pipeline import make_ensemble_pipeline
 
