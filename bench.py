@@ -129,16 +129,19 @@ def main():
                          "additionally fuses the velocity k-weighting "
                          "into the draw kernel (round-4 experiment)")
     ap.add_argument("--vel-precision", default=None,
+                    choices=["DEFAULT", "HIGH", "HIGHEST", "SPLIT"],
                     help="einsum precision for the velocity inverse "
-                         "transform only (DEFAULT/HIGH/HIGHEST); default "
+                         "transform only; default "
                          "inherits --mm3d-precision; see truth-gate "
                          "variant 'vel_default'")
     ap.add_argument("--dx-precision", default=None,
+                    choices=["DEFAULT", "HIGH", "HIGHEST", "SPLIT"],
                     help="einsum precision for the delta_x inverse "
                          "transform only (default inherits "
                          "--mm3d-precision; truth-gate variant "
                          "'dx_default')")
     ap.add_argument("--fwd-precision", default=None,
+                    choices=["DEFAULT", "HIGH", "HIGHEST", "SPLIT"],
                     help="einsum precision for the cleaned-cube forward "
                          "transform only (default inherits "
                          "--mm3d-precision; truth-gate variant "
@@ -158,8 +161,10 @@ def main():
     ap.add_argument("--eigh-hoist", default=None,
                     choices=["auto", "on", "off"],
                     help="chained-pipeline batched-eigh hoist "
-                         "(PipelineConfig.eigh_hoist; default auto = on "
-                         "for TPU)")
+                         "(PipelineConfig.eigh_hoist; default off — "
+                         "'auto' also resolves to off everywhere after "
+                         "the measured round-4 composition loss; 'on' "
+                         "forces the hoist)")
     ap.add_argument("--draw-method", default=None,
                     choices=["erfinv", "box_muller"],
                     help="bits->normal transform for the density draw "
@@ -177,6 +182,9 @@ def main():
                          "96.3 -> 100.3 pipelines/s over chain=8), 4 from "
                          "512^3 up (chain=8 regresses 9.60 -> 9.43 and "
                          "large chains compile for many minutes)")
+    ap.add_argument("--out-json", default=None,
+                    help="also write the final JSON line to this file "
+                         "(driver-style artifacts, e.g. BENCH_512_r05.json)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--init-timeout", type=float, default=900.0,
                     help="seconds before a hung backend init is reported "
@@ -273,7 +281,7 @@ def main():
               f"{args.nsamp}^3 on {jax.devices()[0].platform}; "
               f"pk head: {pk[:3]}")
 
-    print(json.dumps({
+    doc = {
         "metric": f"{args.nsamp}^3 realize->RSD->filter->P(k) pipelines/sec/chip",
         "value": round(rate, 4),
         "unit": "pipelines/s",
@@ -292,7 +300,11 @@ def main():
         "pca_precision": config.pca_precision,
         "pallas_pk": config.pallas_pk,
         "draw_method": config.draw_method,
-    }))
+    }
+    print(json.dumps(doc))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

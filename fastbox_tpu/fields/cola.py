@@ -336,10 +336,11 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
             # Fused 3-mesh force gather: the CIC weight planes depend only
             # on the displacements, so one kernel shares them across the
             # three force components instead of rebuilding them 3x.
-            # OPT-IN (False by default): its working set is ~3x the
-            # single-mesh gather's (100.6 MB at 256^3/B=2 — the kernel
-            # carries its own 116 MB scoped-vmem limit), so enable only
-            # after an in-engine compile passes at the target size.
+            # Default fuse_force_gather=2: fuse only ladder branches with
+            # band <= 2.  At B=3 the fused working set is 124.4 MB of
+            # scoped VMEM — over the kernel's 116 MB limit, a compile
+            # OOM — while B<=2 fits (100.6 MB at 256^3/B=2); see the
+            # realise_density_cola docstring for the measured rationale.
             # fuse_force_gather may be an int: fuse only ladder branches
             # with band <= it (wide bands keep the per-mesh gathers).
             cic_gather3 = (partial(plc.cic_gather3_lattice_pallas,

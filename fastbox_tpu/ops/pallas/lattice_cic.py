@@ -426,9 +426,13 @@ def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
         # 256^3/B=2 — over the 96 MB limit the single-mesh kernels use,
         # but well inside the v5e core's 128 MB VMEM.  Scoped vmem is
         # per-kernel, so raising it here does not tax the rest of the
-        # program.
+        # program.  At B=3 the working set is 124.4 MB: over the round-4
+        # 116 MB setting (which compile-OOMed and kept fuse_force_gather
+        # at bands<=2) but still under the physical 128 MB — wide bands
+        # get the near-physical limit (validated by Mosaic cross-lowering
+        # via scripts/preflight_mosaic.py and in-engine on TPU, round 5).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=116 * 1024 * 1024),
+            vmem_limit_bytes=(127 if B >= 3 else 116) * 1024 * 1024),
         interpret=interpret,
     )(ma, ma, ma, mb, mb, mb, mc, mc, mc, dx, dy, dz)

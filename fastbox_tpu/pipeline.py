@@ -231,6 +231,31 @@ class PipelineConfig:
     # uniforms are drawn in draw_dtype), so the truth gate can oracle it
     # per-bin.  Candidate flip after TPU measurement + 256^3 gate.
     draw_method: str = "erfinv"
+    # Additive per-bin debias vector subtracted from the RETAINED
+    # pk_cleaned bins (length nbins-1, same order as the returned "k").
+    # Round-5 experiment (VERDICT #7): the bf16 DEFAULT DFT tiers are
+    # ~10%% faster but their rounding is ADDITIVE noise power — a
+    # systematic +2-4e-3 signed bias on the cleaned low bins
+    # (TRUTH_GATE_256_R4B.json).  Additive power is calibratable:
+    # ``calibrate_pk_debias`` measures mean(pk_fast - pk_ref) on
+    # held-out keys and this knob subtracts it in the estimator.
+    # None = no subtraction (default).  See scripts/debias_pk.py for
+    # the truth-gate verdict on whether the debiased DEFAULT tier is
+    # admissible.
+    pk_debias: tuple | None = None
+
+    def __post_init__(self):
+        # Validate knobs that are otherwise consumed far from construction,
+        # so invalid values fail fast for every pipeline constructor.
+        # NOTE: eigh_hoist only has an effect in make_chained_pipeline —
+        # make_pipeline/make_ensemble_pipeline have no chain to hoist over
+        # ('on' is accepted there but is a no-op by construction).
+        if self.eigh_hoist not in ("auto", "on", "off"):
+            raise ValueError(f"Unknown eigh_hoist '{self.eigh_hoist}'")
+        if self.pallas_pk not in ("auto", "on", "off", "v2", "v2t"):
+            raise ValueError(f"Unknown pallas_pk '{self.pallas_pk}'")
+        if self.fg_spectral not in ("poly", "pow"):
+            raise ValueError(f"Unknown fg_spectral '{self.fg_spectral}'")
 
 
 def _hi_bias(z):
@@ -321,6 +346,10 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
     _e = np.concatenate([[0.0], kbins_edges])
     kcent = 0.5 * (_e[1:] + _e[:-1])
     nb = kbins_edges.size
+    if config.pk_debias is not None and len(config.pk_debias) != nb - 1:
+        raise ValueError(
+            f"pk_debias must have length {nb - 1} (the retained bins); "
+            f"got {len(config.pk_debias)}")
     # Bin classification plan (round 4): squared-space digitize, with
     # EXACT integer-lattice operands on cubic grids — identical bin
     # membership in every dtype/platform/kernel (the floating |k| path
@@ -353,6 +382,18 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
                  or (config.pallas_pk == "auto"
                      and jax.default_backend() == "tpu")) \
         and _thr is not None
+    if config.pallas_pk in ("v2", "v2t") and _thr is None:
+        # An explicitly forced v2/v2t request cannot be honored off
+        # cubic-exact grids (the hoisted counts are exact integer-lattice
+        # geometry) — warn instead of silently measuring the v1 kernel.
+        import warnings
+
+        warnings.warn(
+            f"pallas_pk='{config.pallas_pk}' requires a cubic-exact grid "
+            "(kbin_thresholds returned None); falling back to the v1 "
+            "kernel" + (" and dropping telescoping"
+                        if config.pallas_pk == "v2t" else ""),
+            stacklevel=2)
     cnt_v2_j = None
     if use_pallas_pk and use_pk_v2:
         _w_plane = np.broadcast_to(kz_weight[None, :],
@@ -696,6 +737,8 @@ def _build_pipeline(grid: GridSpec, cosmology: Cosmology,
             s1, q1, s2, _, cnt = binned_weighted_dual(
                 p_clean.ravel(), p_dens.ravel(), w.ravel(), bin_idx, nb)
         pk_clean = (s1 / cnt)[1:]
+        if config.pk_debias is not None:
+            pk_clean = pk_clean - jnp.asarray(config.pk_debias, dtype)
         var = jnp.maximum(q1 / cnt - (s1 / cnt) ** 2, 0.0)
         var = jnp.where(cnt > 1, var, 0.0)
         pk_err = (jnp.sqrt(var) / jnp.sqrt(cnt))[1:]
@@ -800,6 +843,42 @@ def make_chained_pipeline(grid: GridSpec, cosmology: Cosmology,
         return outs
 
     return lambda keys: chained(keys, *consts)
+
+
+def calibrate_pk_debias(grid: GridSpec, cosmology: Cosmology,
+                        config_fast: PipelineConfig,
+                        config_ref: PipelineConfig | None = None,
+                        keys=(5000, 5001, 5002, 5003, 5004, 5005, 5006, 5007)):
+    """Measure the additive per-bin bias of a fast (lower-precision)
+    pipeline configuration against a reference configuration.
+
+    Runs both configurations on the same held-out ``keys`` (use keys
+    DISJOINT from any science/gate keys) and returns
+    ``mean(pk_fast - pk_ref, axis=keys)`` as a tuple suitable for
+    ``dataclasses.replace(config_fast, pk_debias=...)``.
+
+    Motivation (TRUTH_GATE_256_R4B.json): bf16 DEFAULT-tier DFT rounding
+    is additive noise power — a systematic positive bias on the cleaned
+    low bins — which is the one error class an estimator can subtract
+    after calibration.  ``config_ref`` defaults to ``config_fast`` with
+    the precision knobs restored to the shipping tiers.
+    """
+    import dataclasses as _dc
+
+    if config_ref is None:
+        config_ref = _dc.replace(config_fast, mm3d_precision="HIGH",
+                                 dx_precision=None, fwd_precision=None,
+                                 pk_debias=None)
+    config_fast = _dc.replace(config_fast, pk_debias=None)
+    fn_fast = make_pipeline(grid, cosmology, config_fast)
+    fn_ref = make_pipeline(grid, cosmology, config_ref)
+    diffs = []
+    for seed in keys:
+        k = jax.random.PRNGKey(seed)
+        pf = np.asarray(fn_fast(k)["pk_cleaned"], np.float64)
+        pr = np.asarray(fn_ref(k)["pk_cleaned"], np.float64)
+        diffs.append(pf - pr)
+    return tuple(float(v) for v in np.mean(diffs, axis=0))
 
 
 def make_ensemble_pipeline(grid: GridSpec, cosmology: Cosmology,

@@ -361,6 +361,54 @@ chained dispatch) is faster still: see `bench.py` and BASELINE.md.
 
 
 # ---------------------------------------------------------------------
+# Notebook 1b: the root-level sibling.  The reference repository ships
+# the end-to-end notebook TWICE — examples/End-to-end_simulation.ipynb
+# and the root-level 'Example end-to-end analysis.ipynb' (identical code
+# cells, verified by diff; each with its own independently recorded
+# timing outputs — BASELINE.md cites both rows).  This sibling is the
+# analog: the same declared cells, executed in its own fresh run (so its
+# timing outputs are an independent sample), closed by a per-channel
+# mean/rms scan of every cube — the quick-look residual-foreground
+# diagnostic the examples/ variant does not include.
+# ---------------------------------------------------------------------
+END_TO_END_ANALYSIS = END_TO_END + [
+    ("md", """
+## Per-channel cube scan
+
+Closing diagnostic specific to this analysis notebook: the mean and rms
+spectra of each cube versus frequency.  Residual foreground structure
+shows up as a smooth frequency-coherent floor in the cleaned rms; the
+signal + noise rms is flat by construction.
+"""),
+    ("code", """
+freqs_mhz = np.asarray(box.freq_array())
+fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+for name, cube in [("signal", signal_cube), ("data", data_cube),
+                   ("pca", cleaned_pca), ("ica", cleaned_ica),
+                   ("nmf", cleaned_nmf)]:
+    arr = np.asarray(cube).reshape(-1, freqs_mhz.size)
+    axes[0].plot(freqs_mhz, arr.mean(axis=0), color=COL[name], lw=1.5,
+                 label=name)
+    axes[1].plot(freqs_mhz, arr.std(axis=0), color=COL[name], lw=1.5,
+                 label=name)
+axes[0].set_yscale("symlog", linthresh=1e-2)
+axes[0].set_xlabel("frequency [MHz]"); axes[0].set_ylabel("mean T [mK]")
+axes[0].set_title("per-channel mean"); axes[0].legend(frameon=False)
+axes[1].set_yscale("log")
+axes[1].set_xlabel("frequency [MHz]"); axes[1].set_ylabel("rms T [mK]")
+axes[1].set_title("per-channel rms"); axes[1].legend(frameon=False)
+fig.tight_layout()
+print("cleaned rms / signal rms (median over channels):")
+sig_rms = np.asarray(signal_cube).reshape(-1, freqs_mhz.size).std(axis=0)
+for name, cube in [("pca", cleaned_pca), ("ica", cleaned_ica),
+                   ("nmf", cleaned_nmf)]:
+    rms = np.asarray(cube).reshape(-1, freqs_mhz.size).std(axis=0)
+    print("  %s: %.3f" % (name, float(np.median(rms / sig_rms))))
+"""),
+]
+
+
+# ---------------------------------------------------------------------
 # Notebook 2: Fisher forecast for cross-spectrum bandpowers
 # (mirrors /root/reference/examples/Fisher_forecast_crosscorrelation.ipynb)
 # ---------------------------------------------------------------------
@@ -751,6 +799,8 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     todo = {"end_to_end": (END_TO_END, "End_to_end_simulation.ipynb"),
+            "analysis": (END_TO_END_ANALYSIS,
+                         "Example_end_to_end_analysis.ipynb"),
             "fisher": (FISHER, "Fisher_forecast_crosscorrelation.ipynb"),
             "psm": (PSM, "Planck_Sky_model_parameters.ipynb")}
     names = args.only.split(",") if args.only else list(todo)

@@ -40,6 +40,7 @@ from fastbox_tpu.grid import GridSpec
 from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
 
 N = int(sys.argv[1]); mode = sys.argv[2]
+extra = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
 grid = GridSpec.create(box_scale=(4e3 * N / 256.0,) * 3, nsamp=N,
                        redshift=0.8)
 cosmo = build_cosmology(
@@ -47,6 +48,7 @@ cosmo = build_cosmology(
     redshift=0.8)
 kw = {} if mode == "pipeline" else dict(include_foregrounds=False,
                                         include_noise=False)
+kw.update(extra)
 fn = make_pipeline(grid, cosmo, PipelineConfig(**kw))
 key = jax.random.PRNGKey(0)
 t0 = time.perf_counter()
@@ -68,32 +70,55 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[576, 640, 704, 768])
     ap.add_argument("--modes", nargs="+", default=["signal", "pipeline"])
+    ap.add_argument("--extra", default=None,
+                    help="JSON dict of extra PipelineConfig kwargs "
+                         "(stage-bisection variants, e.g. "
+                         "'{\"pallas_pk\": \"off\"}')")
+    ap.add_argument("--tag", default=None,
+                    help="variant tag recorded in results and log names")
     ap.add_argument("--timeout", type=float, default=1800.0)
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "MAXN_SINGLECHIP.json"))
     args = ap.parse_args()
+
+    # Full, untruncated child logs (round-5 VERDICT #3: the 576^3
+    # "lane-padding" hypothesis was unverifiable from the 400-char
+    # truncations) — one file per probe cell.
+    logdir = os.path.join(REPO, "scripts", "maxn_logs")
+    os.makedirs(logdir, exist_ok=True)
+    extra = args.extra or "{}"
+    tag = f"_{args.tag}" if args.tag else ""
 
     results = []
     # Largest-known-good anchor first so a cold cache pays its tunnel
     # warm-up on a config that cannot OOM.
     for mode in args.modes:
         for N in args.sizes:
-            print(f"[maxN] {mode} {N}^3 ...", flush=True)
+            print(f"[maxN] {mode}{tag} {N}^3 ...", flush=True)
+            logf = os.path.join(logdir, f"{mode}{tag}_{N}.log")
             try:
                 p = subprocess.run([sys.executable, "-c", CHILD, str(N),
-                                    mode], cwd=REPO, capture_output=True,
+                                    mode, extra], cwd=REPO,
+                                   capture_output=True,
                                    text=True, timeout=args.timeout)
             except subprocess.TimeoutExpired:
                 results.append({"ok": False, "N": N, "mode": mode,
+                                "tag": args.tag,
                                 "error": f"timeout {args.timeout:.0f}s"})
-                print(f"[maxN] {mode} {N}^3 TIMEOUT", flush=True)
+                print(f"[maxN] {mode}{tag} {N}^3 TIMEOUT", flush=True)
                 continue
+            with open(logf, "w") as f:
+                f.write(f"# rc={p.returncode} extra={extra}\n"
+                        f"# --- stdout ---\n{p.stdout}\n"
+                        f"# --- stderr ---\n{p.stderr}\n")
             line = [l for l in p.stdout.splitlines()
                     if l.startswith('{"ok"')]
             if p.returncode == 0 and line:
                 rec = json.loads(line[-1])
+                if args.tag:
+                    rec["tag"] = args.tag
                 results.append(rec)
-                print(f"[maxN] {mode} {N}^3 OK "
+                print(f"[maxN] {mode}{tag} {N}^3 OK "
                       f"steady={rec['t_steady_s']}s", flush=True)
             else:
                 tail = (p.stderr or p.stdout).strip().splitlines()[-12:]
@@ -101,10 +126,11 @@ def main():
                             if "RESOURCE_EXHAUSTED" in l or "Error" in l
                             or "error" in l), tail[-1] if tail else "?")
                 results.append({"ok": False, "N": N, "mode": mode,
-                                "rc": p.returncode,
+                                "tag": args.tag, "rc": p.returncode,
+                                "log": os.path.relpath(logf, REPO),
                                 "error": err.strip()[:400]})
-                print(f"[maxN] {mode} {N}^3 FAILED: "
-                      f"{err.strip()[:160]}", flush=True)
+                print(f"[maxN] {mode}{tag} {N}^3 FAILED "
+                      f"(full log: {logf}): {err.strip()[:160]}", flush=True)
 
     payload = {"chip": "v5e (16 GiB HBM), axon tunnel",
                "note": "each cell is a fresh subprocess; box scales with "
