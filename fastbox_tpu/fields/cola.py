@@ -36,13 +36,18 @@ __all__ = ["realise_density_cola", "cic_paint_particles", "cic_gather"]
 # ----------------------------------------------------------------------
 # CIC scatter / gather on the periodic grid (cell units)
 # ----------------------------------------------------------------------
-def cic_paint_particles(u, N: int, weights=None):
-    """Scatter particles at positions ``u`` (cell units, any real) onto an
-    (N,N,N) periodic mesh with CIC weights."""
-    w = jnp.ones(u.shape[0], u.dtype) if weights is None else weights
-    i0 = jnp.floor(u).astype(jnp.int32)
-    f = u - i0
-    mesh = jnp.zeros((N, N, N), u.dtype)
+# Particle chunk for the scatter/gather fallbacks.  The flat (M, 3)
+# index/weight temporaries of a monolithic scatter cost ~8.5 GB of HLO
+# temps inside the cond at 512^3 (134M particles; XLA allocates a
+# cond's branches at their max), which HBM-OOMed the first 512^3 COLA
+# compile (scripts/round5e.log, round 5).  Chunking bounds the branch
+# at ~chunk*3 ints + a mesh carry; 4M rows keeps it under ~0.2 GB.
+_SCATTER_CHUNK = 4 * 1024 * 1024
+
+
+def _paint_block(mesh, ub, wb, N: int):
+    i0 = jnp.floor(ub).astype(jnp.int32)
+    f = ub - i0
     for dx in (0, 1):
         wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
         ix = jnp.mod(i0[:, 0] + dx, N)
@@ -52,17 +57,40 @@ def cic_paint_particles(u, N: int, weights=None):
             for dz in (0, 1):
                 wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
                 iz = jnp.mod(i0[:, 2] + dz, N)
-                mesh = mesh.at[ix, iy, iz].add(w * wx * wy * wz)
+                mesh = mesh.at[ix, iy, iz].add(wb * wx * wy * wz)
     return mesh
 
 
-def cic_gather(mesh, u):
-    """Trilinear (CIC) interpolation of a periodic mesh at positions ``u``
-    (cell units)."""
-    N = mesh.shape[0]
-    i0 = jnp.floor(u).astype(jnp.int32)
-    f = u - i0
-    out = jnp.zeros(u.shape[0], mesh.dtype)
+def cic_paint_particles(u, N: int, weights=None):
+    """Scatter particles at positions ``u`` (cell units, any real) onto an
+    (N,N,N) periodic mesh with CIC weights.
+
+    Large particle counts scatter in ``_SCATTER_CHUNK`` row blocks via
+    ``lax.fori_loop`` with the mesh as carry — identical sums (the
+    .at[].add accumulation order over offset planes is preserved per
+    block; float addition ordering across blocks differs only where
+    multiple blocks hit one cell, the same class of reordering the
+    scatter itself already has), bounded temporaries."""
+    M = u.shape[0]
+    w = jnp.ones(M, u.dtype) if weights is None else weights
+    mesh = jnp.zeros((N, N, N), u.dtype)
+    if M <= _SCATTER_CHUNK or M % _SCATTER_CHUNK != 0:
+        return _paint_block(mesh, u, w, N)
+
+    chunk = _SCATTER_CHUNK
+
+    def body(i, mesh):
+        ub = jax.lax.dynamic_slice_in_dim(u, i * chunk, chunk)
+        wb = jax.lax.dynamic_slice_in_dim(w, i * chunk, chunk)
+        return _paint_block(mesh, ub, wb, N)
+
+    return jax.lax.fori_loop(0, M // chunk, body, mesh)
+
+
+def _gather_block(mesh, ub, N: int):
+    i0 = jnp.floor(ub).astype(jnp.int32)
+    f = ub - i0
+    out = jnp.zeros(ub.shape[0], mesh.dtype)
     for dx in (0, 1):
         wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
         ix = jnp.mod(i0[:, 0] + dx, N)
@@ -74,6 +102,25 @@ def cic_gather(mesh, u):
                 iz = jnp.mod(i0[:, 2] + dz, N)
                 out = out + mesh[ix, iy, iz] * wx * wy * wz
     return out
+
+
+def cic_gather(mesh, u):
+    """Trilinear (CIC) interpolation of a periodic mesh at positions ``u``
+    (cell units).  Chunked like :func:`cic_paint_particles` (the flat
+    index temporaries of a monolithic gather are the same ~GB class at
+    512^3)."""
+    N = mesh.shape[0]
+    M = u.shape[0]
+    if M <= _SCATTER_CHUNK or M % _SCATTER_CHUNK != 0:
+        return _gather_block(mesh, u, N)
+
+    chunk = _SCATTER_CHUNK
+
+    def blk(ub):
+        return _gather_block(mesh, ub, N)
+
+    out = jax.lax.map(blk, u.reshape(-1, chunk, 3))
+    return out.reshape(M)
 
 
 # ----------------------------------------------------------------------
@@ -113,7 +160,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                          lattice_impl: str = "auto",
                          gradient: str = "spectral",
                          fft_precision: str | None = None,
-                         fuse_force_gather: bool | int = 2,
+                         fuse_force_gather: bool | int = True,
                          diagnostics: bool = False):
     """Evolve a 2LPT+COLA realisation to the target redshift.
 
@@ -159,12 +206,14 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     ``fuse_force_gather`` gathers all three PM force components in ONE
     Pallas kernel that shares the CIC weight planes (vs rebuilding them
     3x) for ladder branches with band <= it (bool True = every band,
-    False = never).  Default 2 (round 4): the open-band fused gather
+    False = never).  Default True (round 5): the open-band fused gather
     measures 7.1/37.9 ms for 3 meshes at B=1/2 (256^3) vs 16.3/52 for
-    three separate gathers, but the B=3 branch's scoped-VMEM working
-    set is 124.4 MB — over the 116 MB kernel limit (in-engine compile
-    OOM, campaign round4c step 8; bx cannot shrink below B+1), so wide
-    bands keep the per-mesh gathers.
+    three separate gathers.  The B=3 branch's 124.4 MB scoped-VMEM
+    working set compile-OOMed under round-4's 116 MB kernel limit (bx
+    cannot shrink below B+1); round 5 raised the B>=3 limit to 127 MB
+    (< the 128 MB physical VMEM, ops/pallas/lattice_cic.py), which
+    compiles AND wins in-engine: 256^3 COLA 1.847 -> 1.63 s/realisation
+    (scripts/round5b.log, identical P/P_lin and std).
 
     With ``diagnostics=True`` a third return value carries per-step probe
     arrays: ``maxdisp`` (max wrapped Lagrangian displacement in cells at
@@ -246,12 +295,24 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
         raise ValueError(f"Unknown lattice_impl '{lattice_impl}'")
     if gradient not in ("spectral", "fd4", "fd6"):
         raise ValueError(f"Unknown gradient '{gradient}'")
+    eff_B = None if lattice_B is None else int(lattice_B)
+    fuse_band = _fuse_max_band(fuse_force_gather)
+    if lattice_impl == "pallas" and grid.N >= 512:
+        # 512^3 kernel envelope (LATTICE_512.json, round 5): (4, N, N)
+        # slab blocks put the B=3 paint/gather past the 128 MB physical
+        # VMEM even with on-the-fly z weights (bx cannot drop below B
+        # and 3 does not divide 512), and the fused 3-mesh gather fits
+        # only at B=1.  Cap the ladder at B=2 — wider displacements take
+        # the exact scatter cond-fallback — and fuse only B=1.
+        if eff_B is not None:
+            eff_B = min(eff_B, 2)
+        fuse_band = min(fuse_band, 1)
     evolve = _build_evolve(grid, int(force_factor),
-                           None if lattice_B is None else int(lattice_B),
+                           eff_B,
                            dtype.name, bool(keep_velocities),
                            bool(diagnostics), lattice_impl,
                            gradient, fft_precision,
-                           _fuse_max_band(fuse_force_gather))
+                           fuse_band)
     return evolve(q, p1, p2, step_consts, scal)
 
 
@@ -336,13 +397,12 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
             # Fused 3-mesh force gather: the CIC weight planes depend only
             # on the displacements, so one kernel shares them across the
             # three force components instead of rebuilding them 3x.
-            # Default fuse_force_gather=2: fuse only ladder branches with
-            # band <= 2.  At B=3 the fused working set is 124.4 MB of
-            # scoped VMEM — over the kernel's 116 MB limit, a compile
-            # OOM — while B<=2 fits (100.6 MB at 256^3/B=2); see the
-            # realise_density_cola docstring for the measured rationale.
-            # fuse_force_gather may be an int: fuse only ladder branches
-            # with band <= it (wide bands keep the per-mesh gathers).
+            # Default True (round 5) — every ladder band fuses: the B=3
+            # branch's 124.4 MB scoped-VMEM working set fits under the
+            # raised 127 MB kernel limit and wins in-engine (1.847 ->
+            # 1.63 s/realisation at 256^3); see the realise_density_cola
+            # docstring.  fuse_force_gather may be an int: fuse only
+            # ladder branches with band <= it.
             cic_gather3 = (partial(plc.cic_gather3_lattice_pallas,
                                    interpret=_interp, openband=True)
                            if fuse_force_gather > 0 else None)

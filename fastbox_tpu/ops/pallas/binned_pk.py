@@ -41,6 +41,28 @@ _LANES = 128
 _VMEM_BLOCK_BUDGET = 1_100_000
 
 
+def _pad_half_lane(p1, p2, kz2h, wz):
+    """Zero-weight pad of the half axis H up to a lane multiple.
+
+    The (Nx, Ny*H) row layout can only be lane-chunked against the 16 MB
+    scoped-VMEM limit when Ny*H divides into 128-multiples.  For N not a
+    multiple of 128 (e.g. 576^3: H=289, Ny*H % 128 != 0) no chunk exists
+    and the monolithic block overflows the scoped budget — the round-3
+    campaign-J "scoped-VMEM OOM" failure class (docs/scaling.md).  Fix:
+    pad H to the next multiple of 128 with ZERO multiplicity weight.
+    Every accumulated quantity (sum w*p, sum (w*p)*p, sum w) carries the
+    weight factor, so padded elements contribute exactly 0 to every bin
+    regardless of where their garbage k^2 digitizes.  Costs one padded
+    copy of each power cube (<= 1.45x lanes) on the N-not-128-multiple
+    sizes only; 128-multiple sizes take the unpadded fast path.
+    """
+    H = p1.shape[2]
+    Hp = ((H + 127) // 128) * 128
+    pad = ((0, 0), (0, 0), (0, Hp - H))
+    return (jnp.pad(p1, pad), jnp.pad(p2, pad),
+            jnp.pad(kz2h, (0, Hp - H)), jnp.pad(wz, (0, Hp - H)))
+
+
 def _kernel(kx2_ref, edges_ref, pk_ref, ky2_ref, kz2_ref, out_ref, *,
             nbins: int, nrows: int):
     i = pl.program_id(0)
@@ -214,6 +236,13 @@ def binned_pk_half_dual_pallas(p1, p2, kx2, ky2, kz2h, wz, edges2,
     bx = 8
     while Nx % bx != 0:
         bx //= 2          # tiny test grids: bx == Nx (== full dim, allowed)
+    itemsize0 = jnp.dtype(dtype).itemsize
+    if bx * NH * itemsize0 > _VMEM_BLOCK_BUDGET and NH % 128 != 0:
+        # Over-budget block that cannot be lane-chunked: zero-weight pad
+        # the half axis to a 128-multiple first (see _pad_half_lane).
+        p1, p2, kz2h, wz = _pad_half_lane(p1, p2, kz2h, wz)
+        H = p1.shape[2]
+        NH = Ny * H
     nblk = Nx // bx
     # Lane chunking: the unrolled digitize + masked reductions hold ~4
     # block-sized f32 temporaries on the kernel stack (k, idx, wp1, mask),

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binned_pk import _LANES, _VMEM_BLOCK_BUDGET
+from .binned_pk import _LANES, _VMEM_BLOCK_BUDGET, _pad_half_lane
 
 __all__ = ["binned_pk_half_dual_pallas_v2"]
 
@@ -106,8 +106,14 @@ def binned_pk_half_dual_pallas_v2(p1, p2, kx2, ky2, kz2h, wz, edges2,
     bx = 8
     while Nx % bx != 0:
         bx //= 2
-    nblk = Nx // bx
     itemsize = jnp.dtype(dtype).itemsize
+    if bx * NH * itemsize > _VMEM_BLOCK_BUDGET and NH % 128 != 0:
+        # Zero-weight lane pad for N not a multiple of 128 (see
+        # binned_pk._pad_half_lane) — enables the chunk search below.
+        p1, p2, kz2h, wz = _pad_half_lane(p1, p2, kz2h, wz)
+        H = p1.shape[2]
+        NH = Ny * H
+    nblk = Nx // bx
     nc = 1
     if bx * NH * itemsize > _VMEM_BLOCK_BUDGET and NH % 128 == 0:
         for cand in range(2, NH // 128 + 1):

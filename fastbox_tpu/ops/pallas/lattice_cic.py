@@ -106,7 +106,7 @@ def _rows(triple, s, bx):
 
 
 def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z",
-                  openband: bool = False):
+                  openband: bool = False, z_onfly: bool = False):
     if weighted:
         (dx0, dx1, dx2, dy0, dy1, dy2, dz0, dz1, dz2,
          w0, w1, w2, out_ref) = refs
@@ -144,13 +144,20 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z",
             flz, frz = _floor_frac(sdz)
             acc = None
             if inner == "z":
-                # n_off^2 lane rolls, n_off sublane rolls
-                wzs = _axis_w_planes(sdz, B, dtype, openband)
+                # n_off^2 lane rolls, n_off sublane rolls.  z_onfly
+                # recomputes each z weight plane from the hoisted
+                # (floor, frac) pair instead of keeping the (2B+1)-plane
+                # stack resident — mandatory at 512^3 block sizes
+                # (_Z_ONFLY_BLOCK_BYTES).
+                wzs = None if z_onfly \
+                    else _axis_w_planes(sdz, B, dtype, openband)
                 for oy in range(-B, ohi):
                     wxy = wx * _w_from(fly, fry, oy, dtype)
                     part = None
                     for iz, oz in enumerate(range(-B, ohi)):
-                        t = pltpu.roll(wxy * wzs[iz], oz % N2, 2)
+                        wzv = _w_from(flz, frz, oz, dtype) if z_onfly \
+                            else wzs[iz]
+                        t = pltpu.roll(wxy * wzv, oz % N2, 2)
                         part = t if part is None else part + t
                     t = pltpu.roll(part, oy % N1, 1)
                     acc = t if acc is None else acc + t
@@ -172,7 +179,7 @@ def _paint_kernel(*refs, B: int, bx: int, weighted: bool, inner: str = "z",
 
 
 def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z",
-                   openband: bool = False):
+                   openband: bool = False, z_onfly: bool = False):
     """Gather ``nmesh`` co-located meshes at the same particle positions.
 
     All CIC weights are evaluated at the particle (output) site, so the
@@ -209,7 +216,10 @@ def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z",
             flz, frz = _floor_frac(dz_r[:])
             accs = [None] * nmesh
             if inner == "z":
-                wzs = _axis_w_planes(dz_r[:], B, dtype, openband)
+                # z_onfly: see _paint_kernel — trade plane residency for
+                # recompute at large block sizes.
+                wzs = None if z_onfly \
+                    else _axis_w_planes(dz_r[:], B, dtype, openband)
                 for oy in range(-B, ohi):
                     # mesh value at (ly + oy) lands at particle row ly:
                     # roll by -oy
@@ -218,7 +228,9 @@ def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z",
                         R = pltpu.roll(Mxs[m], (-oy) % N1, 1)
                         s = None
                         for iz, oz in enumerate(range(-B, ohi)):
-                            t = wzs[iz] * pltpu.roll(R, (-oz) % N2, 2)
+                            wzv = _w_from(flz, frz, oz, dtype) if z_onfly \
+                                else wzs[iz]
+                            t = wzv * pltpu.roll(R, (-oz) % N2, 2)
                             s = t if s is None else s + t
                         t = wxy * s
                         accs[m] = t if accs[m] is None else accs[m] + t
@@ -239,24 +251,37 @@ def _gather_kernel(*refs, B: int, bx: int, nmesh: int = 1, inner: str = "z",
 
 
 _VMEM_BUDGET = 48 * 1024 * 1024
+# Above this per-block size the (2B+1) precomputed z weight planes are
+# swapped for on-the-fly recomputation from the hoisted (floor, frac)
+# pair: at 512^3 a (4, 512, 512) block is 4.19 MB, and the resident
+# plane stack alone (~(2B+1) blocks) would push the kernel past the
+# 128 MB physical VMEM — the round-5 finding that COLA >= 512^3 had
+# never compiled.  Costs ~2x the weight-evaluation VPU ops (each plane
+# is reused (2B+1) x nmesh times), which is noise next to not
+# compiling at all; 256^3 blocks are 1.05 MB and keep the fast path.
+_Z_ONFLY_BLOCK_BYTES = 2 * 1024 * 1024
 
 
-def _pick_bx(N: int, B: int) -> int:
+def _pick_bx(N: int, B: int, openband: bool = False) -> int:
     """Largest x-slab size dividing N that keeps the kernel's working set
     (9-12 double-buffered input blocks + slab concats + temps, ~35
-    block-equivalents) within the VMEM budget, and >= B+1."""
+    block-equivalents) within the VMEM budget, and >= the 3-slab
+    coverage floor (B+1 closed band; B open band — the open x-offset
+    support is [-B, B], so s = bx +- B stays inside [0, 2*bx] already
+    at bx == B, which halves the minimum block at 512^3/B=2)."""
+    floor = max(1, B if openband else B + 1)
     per_bx = 35 * N * N * 4
-    bx = max(B + 1, min(N, _VMEM_BUDGET // per_bx))
+    bx = max(floor, min(N, _VMEM_BUDGET // per_bx))
     while N % bx != 0 and bx > 1:
         bx -= 1
-    if bx < B + 1:
-        # Budget-guided pick is below the B+1 floor: take the smallest
+    if bx < floor:
+        # Budget-guided pick is below the floor: take the smallest
         # divisor of N that satisfies it (wide bands need bigger slabs).
-        bx = B + 1
+        bx = floor
         while bx <= N and N % bx != 0:
             bx += 1
     if bx > N or N % bx != 0:
-        raise ValueError(f"N={N} has no x-slab size >= B+1={B + 1}")
+        raise ValueError(f"N={N} has no x-slab size >= {floor}")
     return bx
 
 
@@ -279,8 +304,10 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
     N = (disp[0] if isinstance(disp, tuple) else disp).shape[0]
     dtype = (disp[0] if isinstance(disp, tuple) else disp).dtype
     B = int(B)
-    bx = _pick_bx(N, B)
+    bx = _pick_bx(N, B, openband)
     nblk = N // bx
+    blk_bytes = bx * N * N * jnp.dtype(dtype).itemsize
+    z_onfly = blk_bytes >= _Z_ONFLY_BLOCK_BYTES
 
     # Materialise the operands behind an optimization barrier: letting XLA
     # rematerialise/fuse producers into the custom-call's operand buffers
@@ -307,15 +334,19 @@ def cic_paint_lattice_pallas(disp, B: int = 2, weights=None,
 
     return pl.pallas_call(
         partial(_paint_kernel, B=B, bx=bx, weighted=weighted, inner=inner,
-                openband=openband),
+                openband=openband, z_onfly=z_onfly),
         grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=specs,
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, N, N), dtype),
+        # Large blocks (512^3: 4.19 MB at the bx=B open floor) need the
+        # near-physical allowance even with z_onfly; small blocks keep
+        # the round-3 96 MB headroom.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=(127 if z_onfly or B >= 3 else 96)
+            * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -336,8 +367,10 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
     """
     N = mesh.shape[0]
     B = int(B)
-    bx = _pick_bx(N, B)
+    bx = _pick_bx(N, B, openband)
     nblk = N // bx
+    blk_bytes = bx * N * N * jnp.dtype(mesh.dtype).itemsize
+    z_onfly = blk_bytes >= _Z_ONFLY_BLOCK_BYTES
 
     # See the paint kernel's operand barrier comment.
     if isinstance(disp, tuple):
@@ -357,7 +390,7 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
 
     return pl.pallas_call(
         partial(_gather_kernel, B=B, bx=bx, nmesh=1, inner=inner,
-                openband=openband),
+                openband=openband, z_onfly=z_onfly),
         grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=[spec(-1), spec(0), spec(1), own, own, own],
         out_specs=pl.BlockSpec((bx, N, N), lambda j, k: (j, 0, 0),
@@ -365,7 +398,8 @@ def cic_gather_lattice_pallas(mesh, disp, B: int = 2,
         out_shape=jax.ShapeDtypeStruct((N, N, N), mesh.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=(127 if z_onfly or B >= 3 else 96)
+            * 1024 * 1024),
         interpret=interpret,
     )(mesh, mesh, mesh, dx, dy, dz)
 
@@ -392,8 +426,10 @@ def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
     ma, mb, mc = meshes
     N = ma.shape[0]
     B = int(B)
-    bx = _pick_bx(N, B)
+    bx = _pick_bx(N, B, openband)
     nblk = N // bx
+    blk_bytes = bx * N * N * jnp.dtype(ma.dtype).itemsize
+    z_onfly = blk_bytes >= _Z_ONFLY_BLOCK_BYTES
 
     # See the paint kernel's operand barrier comment.
     if isinstance(disp, tuple):
@@ -415,7 +451,7 @@ def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
 
     return pl.pallas_call(
         partial(_gather_kernel, B=B, bx=bx, nmesh=3, inner=inner,
-                openband=openband),
+                openband=openband, z_onfly=z_onfly),
         grid=(nblk, 2 * B + 1 if openband else 2 * B + 2),
         in_specs=[spec(-1), spec(0), spec(1)] * 3 + [own, own, own],
         out_specs=(out_spec, out_spec, out_spec),
@@ -433,6 +469,7 @@ def cic_gather3_lattice_pallas(meshes, disp, B: int = 2,
         # via scripts/preflight_mosaic.py and in-engine on TPU, round 5).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=(127 if B >= 3 else 116) * 1024 * 1024),
+            vmem_limit_bytes=(127 if B >= 3 or z_onfly else 116)
+            * 1024 * 1024),
         interpret=interpret,
     )(ma, ma, ma, mb, mb, mb, mc, mc, mc, dx, dy, dz)

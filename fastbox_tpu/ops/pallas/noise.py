@@ -68,15 +68,26 @@ def _kernel(seed_ref, x_ref, scale_ref, out_ref):
 
 
 def _kernel_max(seed_ref, x_ref, scale_ref, out_ref, max_ref):
-    """As _kernel, also emitting max|out| per row-block (a free scalar
-    by-product the RSD remap uses as its displacement bound — it saves a
-    separate full-cube reduction pass)."""
+    """As _kernel, also emitting max|out| (a free scalar by-product the
+    RSD remap uses as its displacement bound — it saves a separate
+    full-cube reduction pass).  The running maximum accumulates into ONE
+    (1, 1) SMEM cell across the sequential grid (the per-block-row
+    (nblk, 1) layout overflowed the 1 MB SMEM at 768^3, where nblk=2304
+    — scripts/maxn_logs/pipeline_768.log, round 5)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     x = x_ref[:]
     n = _normals(x.shape, jnp.dtype(x.dtype))
     y = x + scale_ref[:] * n
     out_ref[:] = y
-    max_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(y))
+    m = jnp.max(jnp.abs(y))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        max_ref[0, 0] = m
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        max_ref[0, 0] = jnp.maximum(max_ref[0, 0], m)
 
 
 @partial(jax.jit, static_argnames=("interpret", "return_max"))
@@ -131,12 +142,12 @@ def add_scaled_normal_pallas(x2d, scale_row, seed, interpret: bool = False,
             in_specs=dspec_in,
             out_specs=[
                 dspec_out,
-                pl.BlockSpec((nblk, 1), lambda i, *_: (0, 0),
+                pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((R, C), dtype),
-                   jax.ShapeDtypeStruct((nblk, 1), dtype)],
+                   jax.ShapeDtypeStruct((1, 1), dtype)],
         interpret=interpret,
     )(seed_arg, x2d, scale_arg)
-    return out, jnp.max(bmax[:, 0])
+    return out, bmax[0, 0]

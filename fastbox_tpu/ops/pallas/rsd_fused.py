@@ -64,6 +64,21 @@ __all__ = ["rsd_bracket_interp_pallas", "rsd_remap_wrap_pallas"]
 _BLOCK_M = 256
 
 
+def _pick_bm(M: int, C: int) -> int:
+    """Block rows: the working-set target (≈ _BLOCK_M rows at C=256),
+    clamped to a DIVISOR of M — preferring sublane multiples of 8 — so
+    any (M, C) pair lowers (non-power-of-two C like 576 gives targets
+    such as 113 that no power-of-two M divides)."""
+    target = min(_BLOCK_M, M, max(8, (_BLOCK_M * 256) // C))
+    for bm in range(target, 7, -1):
+        if M % bm == 0 and bm % 8 == 0:
+            return bm
+    for bm in range(min(target, M), 0, -1):
+        if M % bm == 0:
+            return bm
+    return 1
+
+
 def _bracket_interp(z, s, v, fill, *, C: int, band: int):
     """Shared kernel body: bracket scan + interp + hull fill.
 
@@ -142,7 +157,9 @@ def rsd_bracket_interp_pallas(s, v, ztarget, fill, band: int = 4,
 
     Parameters:
         s: (M, C) WRAPPED node coordinates per LOS (the reference's
-            ``(z - v/H - z0) mod L + z0``), C a power of two.
+            ``(z - v/H - z0) mod L + z0``).  Any C lowers (the lane
+            rolls take period C directly); non-128-multiple C pads the
+            lane tile internally (576 -> 640, ~11%% extra VPU work).
         v: (M, C) values.
         ztarget: (C,) uniform target grid.
         fill: (M,) hull fill values.
@@ -155,12 +172,10 @@ def rsd_bracket_interp_pallas(s, v, ztarget, fill, band: int = 4,
         (M, C) interpolated values.
     """
     M, C = s.shape
-    assert C & (C - 1) == 0, f"C={C} must be a power of two"
     dtype = s.dtype
     # Block rows scaled so the kernel's working set (input, brackets and
     # rolled temporaries) fits the 16 MB scoped-VMEM budget.
-    bm = min(_BLOCK_M, M, max(8, (_BLOCK_M * 256) // C))
-    assert M % bm == 0, f"M={M} must be a multiple of {bm}"
+    bm = _pick_bm(M, C)
     nblk = M // bm
 
     return pl.pallas_call(
@@ -199,10 +214,8 @@ def rsd_remap_wrap_pallas(vals, vel, ztarget, fill, z0, length_z, inv_hz,
         (M, C) remapped values.
     """
     M, C = vals.shape
-    assert C & (C - 1) == 0, f"C={C} must be a power of two"
     dtype = vals.dtype
-    bm = min(_BLOCK_M, M, max(8, (_BLOCK_M * 256) // C))
-    assert M % bm == 0, f"M={M} must be a multiple of {bm}"
+    bm = _pick_bm(M, C)
     nblk = M // bm
 
     wrap = jnp.stack([jnp.asarray(z0, dtype), jnp.asarray(length_z, dtype),

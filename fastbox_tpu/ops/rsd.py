@@ -358,7 +358,12 @@ def redshift_space_density(
     # from the noise kernel's block maxima; a lax.cond ladder picks the
     # narrowest covering band (band 2 scans 16 lane offsets vs 28 for
     # band 4) with the exact sort-based kernel as the final fallback.
-    if (method == "linear" and _pallas_ok(N * N) and N & (N - 1) == 0
+    # Any N lowers since round 5: the bracket kernels take the lane-roll
+    # period C directly (_pick_bm clamps block rows to a divisor of M),
+    # so non-power-of-two N like 576 rides the fused path instead of
+    # falling to the XLA banded rolls whose ~20 (N^2, N) temps HBM-OOM
+    # at 576^3 (scripts/maxn_logs/pipeline_576.log).
+    if (method == "linear" and _pallas_ok(N * N)
             and (N * N) % min(256, N * N) == 0):
         inv_hz = 1.0 / jnp.asarray(Hz, rdtype)
         maxdisp = (vmax if vmax is not None

@@ -115,13 +115,17 @@ class PipelineConfig:
     # per-transform rounding error epsilon perturbs voxel positions by
     # epsilon * |v|/H — second-order in the remapped density — unlike the
     # delta_x inverse, whose error is first-order in the field itself.
-    # Truth-gated AT THE BENCH SIZE with fg_spectral='poly'
-    # (TRUTH_GATE_256.json, round 4): "DEFAULT" (single-pass bf16) gives
-    # cleaned-P(k) 1.26e-3 vs the f64 oracle; "HIGHEST" reaches 3.29e-4
-    # — AT the 3.02e-4 f32 conditioning floor — but costs 8.2%% of the
-    # pipeline (101.0 -> 92.7 pipelines/s at 256^3).  DEFAULT ships;
-    # set HIGHEST for accuracy-critical low-k work.
-    vel_precision: str | None = "DEFAULT"
+    # Round-5 truth gates (TRUTH_GATE_256_R5.json / TRUTH_GATE_512_R5.json,
+    # same truth files as round 4): the bf16x3 "HIGH" tier closes the
+    # shipping default's ENTIRE accuracy residual — 256^3 cleaned-P(k)
+    # 8.04e-3 (DEFAULT) -> 3.28e-3 (HIGH) vs 3.76e-3 (HIGHEST,
+    # statistically identical), and at 512^3 6.2e-4, BELOW the 2.03e-3
+    # CPU-f32 floor — for a measured 3.1%% of throughput (104.2 -> 101.0
+    # pipelines/s at 256^3, two runs each).  "HIGH" ships (the >=100/s
+    # bar holds); "DEFAULT" (single-pass bf16) is the documented ~3%%
+    # perf escape hatch; "HIGHEST" buys nothing over HIGH (round-4's
+    # 92.7/s measurement made it an 8.2%% knob — superseded).
+    vel_precision: str | None = "HIGH"
     # Separate einsum precisions for the OTHER two big transforms —
     # the delta_x inverse (``dx_precision``) and the cleaned-cube
     # forward (``fwd_precision``) — None inherits mm3d_precision.

@@ -109,7 +109,7 @@ def main():
         execution["sigma_data"] = [float(v) for v in sig.reshape(-1)]
         print(f"[exec] step: {execution['step_seconds']}s, peak RSS "
               f"{execution['peak_rss_gib']} GiB, pk shape {pk.shape}, "
-              f"finite={execution['pk_cleaned_finite']}", flush=True)
+              f"finite bins {execution['pk_finite_bins']}", flush=True)
     except MemoryError as e:
         execution["executed"] = False
         execution["error"] = f"MemoryError after {time.perf_counter()-t0:.0f}s"

@@ -93,6 +93,46 @@ def main():
                                                  edges.astype(jnp.float32)),
             xr)
 
+    # Non-128-multiple N (round 5: 576^3 support) — the fused RSD wrap
+    # kernels at C=576, the sorted exact fallback, and the padded
+    # binned-pk path all must lower for the 576^3 pipeline to ride the
+    # Pallas paths instead of the HBM-OOMing XLA fallbacks.
+    from fastbox_tpu.ops.pallas.rsd_interp import interp_sorted_pallas
+
+    N = 576
+    H = N // 2 + 1
+    M, C = N * N, N
+    vals = jnp.zeros((M, C), jnp.float32)
+    zt = jnp.arange(C, dtype=jnp.float32)
+    fill = jnp.zeros((M,), jnp.float32)
+    for band in (2, 4):
+        pre(f"rsd wrap band{band} N={N}",
+            lambda v, w, b=band: rsd_remap_wrap_pallas(
+                v, w, zt, fill, 0.0, float(C - 1), 0.01, band=b),
+            vals, vals)
+    pre(f"rsd sorted-exact N={N}",
+        lambda s, v: interp_sorted_pallas(s, v, zt, fill), vals, vals)
+    pre(f"noise return_max N={N}",
+        lambda x: add_scaled_normal_pallas(
+            x, jnp.ones((C,), jnp.float32), jnp.int32(7),
+            return_max=True), vals)
+    xr576 = jnp.zeros((N, N, H), jnp.float32)
+    kx2 = jnp.zeros((N,), jnp.float32)
+    kz2 = jnp.zeros((H,), jnp.float32)
+    wz = jnp.ones((H,), jnp.float32)
+    edges = jnp.linspace(0.01, 1.0, 20)
+    pre(f"binned_pk dual N={N} (lane-padded)",
+        lambda p: binned_pk_half_dual_pallas(p, p, kx2, kx2, kz2, wz,
+                                             edges.astype(jnp.float32)),
+        xr576)
+    from fastbox_tpu.ops.pallas.binned_pk_v2 import (
+        binned_pk_half_dual_pallas_v2)
+
+    pre(f"binned_pk v2 N={N} (lane-padded)",
+        lambda p: binned_pk_half_dual_pallas_v2(p, p, kx2, kx2, kz2, wz,
+                                                edges.astype(jnp.float32)),
+        xr576)
+
     # Lattice CIC kernels (fields/cola.py engine): open-band (round 4,
     # 2B+1 offsets/axis, the strict-ladder fast path) and closed-band.
     from fastbox_tpu.ops.pallas.lattice_cic import (

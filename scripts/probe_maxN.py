@@ -41,8 +41,13 @@ from fastbox_tpu.pipeline import PipelineConfig, make_pipeline
 
 N = int(sys.argv[1]); mode = sys.argv[2]
 extra = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
-grid = GridSpec.create(box_scale=(4e3 * N / 256.0,) * 3, nsamp=N,
-                       redshift=0.8)
+# Cap the box at 8 Gpc: the constant-resolution rule (4e3 * N/256) pushes
+# the frequency channels NEGATIVE beyond ~544^3 (freq_array spans ~1.28
+# GHz at z=0.8 regardless of N), which NaNs the noise/FG instrument
+# constants — the round-4 "640^3 full-pipeline worker crash" was NaN data
+# hitting eigh, not a size limit (round-5 bisect, scripts/maxn_logs/).
+box = min(8e3, 4e3 * N / 256.0)
+grid = GridSpec.create(box_scale=(box,) * 3, nsamp=N, redshift=0.8)
 cosmo = build_cosmology(
     dict(Omega_c=0.25, Omega_b=0.05, h=0.7, n_s=0.95, sigma8=0.8),
     redshift=0.8)

@@ -224,3 +224,32 @@ def test_cola_fft_precision_knob_passthrough():
                                 dtype=jnp.float32, keep_velocities=False,
                                 fft_precision="HIGH")
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_scatter_fallback_chunked_matches(monkeypatch):
+    """The chunked scatter/gather fallbacks (lax.fori_loop / lax.map row
+    blocks, round 5: the monolithic flat-index temps HBM-OOMed the
+    512^3 COLA compile) match the monolithic path."""
+    import numpy as np
+
+    from fastbox_tpu.fields import cola as cola_mod
+
+    rng = np.random.default_rng(3)
+    N, M = 8, 4 * 64  # M a multiple of the shrunken chunk
+    u = jnp.asarray(rng.uniform(-1.0, N + 1.0, (M, 3)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, M).astype(np.float32))
+    mesh = jnp.asarray(rng.standard_normal((N, N, N)).astype(np.float32))
+
+    p_ref = cola_mod.cic_paint_particles(u, N, weights=w)
+    g_ref = cola_mod.cic_gather(mesh, u)
+
+    monkeypatch.setattr(cola_mod, "_SCATTER_CHUNK", 64)
+    jax.clear_caches()
+    p_chunk = cola_mod.cic_paint_particles(u, N, weights=w)
+    g_chunk = cola_mod.cic_gather(mesh, u)
+    jax.clear_caches()
+
+    assert np.allclose(np.asarray(p_ref), np.asarray(p_chunk),
+                       rtol=1e-6, atol=1e-6)
+    assert np.allclose(np.asarray(g_ref), np.asarray(g_chunk),
+                       rtol=1e-6, atol=1e-6)

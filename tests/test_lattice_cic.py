@@ -208,3 +208,42 @@ def test_pallas_kernel_variants_match(rng):
                                             inner=inner)
             for a, b in zip(g_ref, g3):
                 assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
+def test_lattice_kernels_z_onfly_matches(rng, monkeypatch):
+    """The on-the-fly z-weight path (forced via a tiny block threshold)
+    is exact vs the resident-plane default.
+
+    At 512^3 blocks (4.19 MB) the (2B+1) resident z planes alone exceed
+    the physical VMEM, so large blocks recompute each plane from the
+    hoisted (floor, frac) pair (round 5; _Z_ONFLY_BLOCK_BYTES).  The
+    arithmetic is identical — only liveness changes."""
+    from fastbox_tpu.ops.pallas import lattice_cic as plc
+
+    N, B = 16, 2
+    d = jnp.asarray(rng.uniform(-(B - 0.01), B - 0.01,
+                                size=(N, N, N, 3)).astype(np.float32))
+    mesh = jnp.asarray(rng.standard_normal((N, N, N)).astype(np.float32))
+    meshes = (mesh, mesh * 0.5, mesh - 1.0)
+
+    p_ref = plc.cic_paint_lattice_pallas(d, B=B, openband=True,
+                                         interpret=True)
+    g_ref = plc.cic_gather_lattice_pallas(mesh, d, B=B, openband=True,
+                                          interpret=True)
+    g3_ref = plc.cic_gather3_lattice_pallas(meshes, d, B=B, openband=True,
+                                            interpret=True)
+
+    monkeypatch.setattr(plc, "_Z_ONFLY_BLOCK_BYTES", 1)
+    jax.clear_caches()  # the threshold is read at trace time
+    p_of = plc.cic_paint_lattice_pallas(d, B=B, openband=True,
+                                        interpret=True)
+    g_of = plc.cic_gather_lattice_pallas(mesh, d, B=B, openband=True,
+                                         interpret=True)
+    g3_of = plc.cic_gather3_lattice_pallas(meshes, d, B=B, openband=True,
+                                           interpret=True)
+    jax.clear_caches()
+
+    assert np.abs(np.asarray(p_ref) - np.asarray(p_of)).max() == 0.0
+    assert np.abs(np.asarray(g_ref) - np.asarray(g_of)).max() == 0.0
+    for a, b in zip(g3_ref, g3_of):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() == 0.0

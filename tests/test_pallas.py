@@ -104,6 +104,47 @@ def test_binned_pk_half_dual_pallas_lane_chunked(rng, monkeypatch):
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
+def test_binned_pk_half_dual_pallas_lane_padded(rng, monkeypatch):
+    """The zero-weight lane-pad path (N not a multiple of 128) matches.
+
+    At 576^3 the (8, Ny*H) row block is 5.3 MB — over the scoped-VMEM
+    budget — and Ny*H = 576*289 is NOT a 128-multiple, so no lane chunk
+    exists: that configuration compile-OOMed in the round-3 campaign-J
+    probes (docs/scaling.md).  The fix pads H to a lane multiple with
+    ZERO multiplicity weight (every accumulated sum carries w, so padded
+    elements contribute exactly 0) and then chunks.  Exercise it small:
+    (16, 72, 37) rows are 2664 lanes (not a 128-multiple) and a 100 KB
+    budget forces the pad + chunk path for both v1 and v2."""
+    from fastbox_tpu.ops.pallas import binned_pk as bpk
+    from fastbox_tpu.ops.pallas import binned_pk_v2 as bpk2
+
+    Nx, Ny, H = 16, 72, 37
+    p1 = jnp.asarray(rng.random((Nx, Ny, H)), dtype=jnp.float32)
+    p2 = jnp.asarray(rng.random((Nx, Ny, H)), dtype=jnp.float32)
+    kx2 = jnp.asarray(rng.random(Nx), dtype=jnp.float32)
+    ky2 = jnp.asarray(rng.random(Ny), dtype=jnp.float32)
+    kz2h = jnp.asarray(rng.random(H), dtype=jnp.float32)
+    wz = np.full(H, 2.0, dtype=np.float32)
+    wz[0] = 1.0
+    wz[-1] = 1.0
+    edges = jnp.asarray(np.linspace(0.05, 1.6, 12), dtype=jnp.float32)
+    args = (p1, p2, kx2, ky2, kz2h, jnp.asarray(wz), edges)
+
+    base = bpk.binned_pk_half_dual_pallas(*args, interpret=True)
+    base2 = bpk2.binned_pk_half_dual_pallas_v2(*args, interpret=True)
+
+    monkeypatch.setattr(bpk, "_VMEM_BLOCK_BUDGET", 100_000)
+    jax.clear_caches()
+    padded = bpk.binned_pk_half_dual_pallas(*args, interpret=True)
+    padded2 = bpk2.binned_pk_half_dual_pallas_v2(*args, interpret=True)
+    jax.clear_caches()
+
+    for a, b in zip(padded, base):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    for a, b in zip(padded2, base2):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 def test_pipeline_pallas_pk_matches_xla_path():
     """pallas_pk='on' (interpreter on CPU) == the default XLA reduction."""
     from fastbox_tpu.cosmology import build_cosmology
