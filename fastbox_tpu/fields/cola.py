@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import lru_cache, partial
 
+import os
 import jax
 import jax.numpy as jnp
 from ..ops import fft_safe
@@ -44,26 +45,43 @@ __all__ = ["realise_density_cola", "cic_paint_particles", "cic_gather"]
 # at ~chunk*3 ints + a mesh carry; 4M rows keeps it under ~0.2 GB.
 _SCATTER_CHUNK = 4 * 1024 * 1024
 
+# Grid size at and above which the COLA evolution dispatches step-by-step
+# (donated state) instead of as one scan program — see _build_evolve_cached.
+# Module-level so tests can shrink it to exercise the lowmem path.
+_LOWMEM_MIN_N = 512
+
+
+def _u_axes(u):
+    """Normalise positions: (M, 3) array or a (ux, uy, uz) tuple of flat
+    (M,) components (the SoA engine layout — (M, 3) tiles as T(4,128)
+    with a 1.33x pad at 512^3 state scale)."""
+    if isinstance(u, tuple):
+        return u
+    return u[:, 0], u[:, 1], u[:, 2]
+
 
 def _paint_block(mesh, ub, wb, N: int):
-    i0 = jnp.floor(ub).astype(jnp.int32)
-    f = ub - i0
+    uxb, uyb, uzb = ub
+    fl = [jnp.floor(a) for a in (uxb, uyb, uzb)]
+    fr = [a - f for a, f in zip((uxb, uyb, uzb), fl)]
+    i0 = [f.astype(jnp.int32) for f in fl]
     for dx in (0, 1):
-        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, N)
+        wx = jnp.where(dx == 0, 1.0 - fr[0], fr[0])
+        ix = jnp.mod(i0[0] + dx, N)
         for dy in (0, 1):
-            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, N)
+            wy = jnp.where(dy == 0, 1.0 - fr[1], fr[1])
+            iy = jnp.mod(i0[1] + dy, N)
             for dz in (0, 1):
-                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, N)
+                wz = jnp.where(dz == 0, 1.0 - fr[2], fr[2])
+                iz = jnp.mod(i0[2] + dz, N)
                 mesh = mesh.at[ix, iy, iz].add(wb * wx * wy * wz)
     return mesh
 
 
 def cic_paint_particles(u, N: int, weights=None):
     """Scatter particles at positions ``u`` (cell units, any real) onto an
-    (N,N,N) periodic mesh with CIC weights.
+    (N,N,N) periodic mesh with CIC weights.  ``u`` is (M, 3) or an SoA
+    (ux, uy, uz) tuple of (M,) components.
 
     Large particle counts scatter in ``_SCATTER_CHUNK`` row blocks via
     ``lax.fori_loop`` with the mesh as carry — identical sums (the
@@ -71,16 +89,18 @@ def cic_paint_particles(u, N: int, weights=None):
     block; float addition ordering across blocks differs only where
     multiple blocks hit one cell, the same class of reordering the
     scatter itself already has), bounded temporaries."""
-    M = u.shape[0]
-    w = jnp.ones(M, u.dtype) if weights is None else weights
-    mesh = jnp.zeros((N, N, N), u.dtype)
+    ux, uy, uz = _u_axes(u)
+    M = ux.shape[0]
+    w = jnp.ones(M, ux.dtype) if weights is None else weights
+    mesh = jnp.zeros((N, N, N), ux.dtype)
     if M <= _SCATTER_CHUNK or M % _SCATTER_CHUNK != 0:
-        return _paint_block(mesh, u, w, N)
+        return _paint_block(mesh, (ux, uy, uz), w, N)
 
     chunk = _SCATTER_CHUNK
 
     def body(i, mesh):
-        ub = jax.lax.dynamic_slice_in_dim(u, i * chunk, chunk)
+        ub = tuple(jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+                   for a in (ux, uy, uz))
         wb = jax.lax.dynamic_slice_in_dim(w, i * chunk, chunk)
         return _paint_block(mesh, ub, wb, N)
 
@@ -88,38 +108,42 @@ def cic_paint_particles(u, N: int, weights=None):
 
 
 def _gather_block(mesh, ub, N: int):
-    i0 = jnp.floor(ub).astype(jnp.int32)
-    f = ub - i0
-    out = jnp.zeros(ub.shape[0], mesh.dtype)
+    uxb, uyb, uzb = ub
+    fl = [jnp.floor(a) for a in (uxb, uyb, uzb)]
+    fr = [a - f for a, f in zip((uxb, uyb, uzb), fl)]
+    i0 = [f.astype(jnp.int32) for f in fl]
+    out = jnp.zeros(uxb.shape[0], mesh.dtype)
     for dx in (0, 1):
-        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, N)
+        wx = jnp.where(dx == 0, 1.0 - fr[0], fr[0])
+        ix = jnp.mod(i0[0] + dx, N)
         for dy in (0, 1):
-            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, N)
+            wy = jnp.where(dy == 0, 1.0 - fr[1], fr[1])
+            iy = jnp.mod(i0[1] + dy, N)
             for dz in (0, 1):
-                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, N)
+                wz = jnp.where(dz == 0, 1.0 - fr[2], fr[2])
+                iz = jnp.mod(i0[2] + dz, N)
                 out = out + mesh[ix, iy, iz] * wx * wy * wz
     return out
 
 
 def cic_gather(mesh, u):
     """Trilinear (CIC) interpolation of a periodic mesh at positions ``u``
-    (cell units).  Chunked like :func:`cic_paint_particles` (the flat
-    index temporaries of a monolithic gather are the same ~GB class at
-    512^3)."""
+    (cell units; (M, 3) or an SoA component tuple).  Chunked like
+    :func:`cic_paint_particles` (the flat index temporaries of a
+    monolithic gather are the same ~GB class at 512^3)."""
+    ux, uy, uz = _u_axes(u)
     N = mesh.shape[0]
-    M = u.shape[0]
+    M = ux.shape[0]
     if M <= _SCATTER_CHUNK or M % _SCATTER_CHUNK != 0:
-        return _gather_block(mesh, u, N)
+        return _gather_block(mesh, (ux, uy, uz), N)
 
     chunk = _SCATTER_CHUNK
 
     def blk(ub):
-        return _gather_block(mesh, ub, N)
+        return _gather_block(mesh, tuple(ub), N)
 
-    out = jax.lax.map(blk, u.reshape(-1, chunk, 3))
+    out = jax.lax.map(blk, (ux.reshape(-1, chunk), uy.reshape(-1, chunk),
+                            uz.reshape(-1, chunk)))
     return out.reshape(M)
 
 
@@ -271,13 +295,33 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
 
     # --- initial conditions ---------------------------------------
     white = white_noise(key, grid, dtype)
-    _, delta_k0 = gaussian_field_from_whitenoise(white, grid, cosmology.pk_lin_z0)
+    delta_x0, delta_k0 = gaussian_field_from_whitenoise(white, grid,
+                                                        cosmology.pk_lin_z0)
     psi1, psi2 = lpt_displacements(delta_k0, grid)  # (3,N,N,N) each, Mpc
+    # Free the IC intermediates NOW: they would otherwise stay live on
+    # device through the whole evolution (~1.5 GB at 512^3 — white +
+    # delta_x0 + the complex half-spectrum), and the 512^3 program's
+    # runtime HBM budget has no room for bystanders.
+    del white, delta_x0, delta_k0
+    if N >= _LOWMEM_MIN_N:
+        # Async dispatch overlaps the 2LPT program's multi-GB temps with
+        # the evolution's first programs; at the lowmem sizes that
+        # transient union exceeds HBM (deferred RESOURCE_EXHAUSTED
+        # surfacing at the next download, round 5).  Force TRUE
+        # completion here (a scalar download — block_until_ready
+        # returns early through the axon tunnel, CLAUDE.md) so the IC
+        # buffers are freed before the evolution enqueues.
+        float(psi1[0, 0, 0, 0])
 
-    q = (jnp.stack(jnp.meshgrid(*(jnp.arange(N, dtype=dtype),) * 3,
-                                indexing="ij"), axis=-1).reshape(-1, 3) * cell)
-    p1 = psi1.reshape(3, -1).T  # (Np, 3)
-    p2 = psi2.reshape(3, -1).T
+    # SoA particle state (3, N, N, N) — round 5: the legacy (M, 3)
+    # layout tiles as T(4,128) with a 1.33x pad on EVERY particle array
+    # (state + per-step temps), ~4 GB of pure padding at 512^3; the SoA
+    # cubes tile unpadded and feed the lattice kernels' tuple API with
+    # zero transposes.  The lattice coordinates themselves are built
+    # IN-TRACE from iota inside the engine's init program (a host-side
+    # eager q cube would cost 1.5 GB of eager dispatches at 512^3).
+    p1 = psi1  # (3, N, N, N), Mpc
+    p2 = psi2
 
     d1_init, _, d2_init, _ = _growth_scalars(params, a_init)
 
@@ -298,12 +342,15 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
     eff_B = None if lattice_B is None else int(lattice_B)
     fuse_band = _fuse_max_band(fuse_force_gather)
     if lattice_impl == "pallas" and grid.N >= 512:
-        # 512^3 kernel envelope (LATTICE_512.json, round 5): (4, N, N)
-        # slab blocks put the B=3 paint/gather past the 128 MB physical
-        # VMEM even with on-the-fly z weights (bx cannot drop below B
-        # and 3 does not divide 512), and the fused 3-mesh gather fits
-        # only at B=1.  Cap the ladder at B=2 — wider displacements take
-        # the exact scatter cond-fallback — and fuse only B=1.
+        # 512^3 kernel envelope (round 5, LATTICE_512.json): B=3 slabs
+        # exceed physical VMEM outright (and B=2 at bx=4 spills 200.6 MB
+        # of registers — only bx=2 compiles), so the ladder caps at B=2;
+        # wider displacements take the chunked exact-scatter fallback.
+        # The lowmem path picks the branch ON HOST and dispatches each
+        # standalone program directly — the in-engine lax.switch
+        # composition faulted the TPU worker at the first scatter step
+        # (round-5 forensics: steps 1-9 lattice fine, crash exactly when
+        # maxd crossed the widest band).
         if eff_B is not None:
             eff_B = min(eff_B, 2)
         fuse_band = min(fuse_band, 1)
@@ -313,7 +360,7 @@ def realise_density_cola(key, grid: GridSpec, cosmology, redshift=None,
                            bool(diagnostics), lattice_impl,
                            gradient, fft_precision,
                            fuse_band)
-    return evolve(q, p1, p2, step_consts, scal)
+    return evolve(p1, p2, step_consts, scal)
 
 
 def _fuse_max_band(fuse_force_gather) -> int:
@@ -378,7 +425,7 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
     bands = () if not use_lattice else tuple(
         b for b in range(1, int(lattice_B) + 1) if 2 * b + 2 <= N)
     if use_lattice or diagnostics:
-        from .lattice_cic import wrapped_displacement
+        from .lattice_cic import wrapped_displacement_axes
         if lattice_impl == "pallas":
             from ..ops.pallas import lattice_cic as plc
 
@@ -429,19 +476,49 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
     # shipped to the remote compiler and blow up at large N).
     m1_np = np.abs(kf) <= np.pi * N / grid.Lx * (1 + 1e-12)
 
-    @jax.jit
-    def evolve(q, p1, p2, step_consts, scal):
-        d1_init, d2_init, fac_pm, pfac1, pfac2, inv_a_final = scal
-        x = q + d1_init * p1 + d2_init * p2
-        v = jnp.zeros_like(x)  # residual momentum
+    # lowmem (N >= _LOWMEM_MIN_N): dispatch the evolution step-by-step
+    # with donated (x, v) state instead of one scan program.  The
+    # monolithic 512^3 program compiles (temps 15.04 GB) but cannot RUN:
+    # temps + the 4.83 GB state arguments + outputs total 20.6 GB
+    # against 15.75 GB of HBM (compiled.memory_analysis(), round 5).
+    # Per-step programs hold only one force evaluation's temps, and
+    # donation aliases the state through each call; the ~5 ms/dispatch
+    # tunnel cost x n_steps is noise at this scale.  The host-
+    # orchestrated phase programs implement the spectral gradient on
+    # the particle-resolution mesh only (force_factor 1); other
+    # configurations keep the scan program (they are opt-in research
+    # knobs, not the shipping path).
+    lowmem = (N >= _LOWMEM_MIN_N and gradient == "spectral"
+              and force_factor == 1)
 
+    def band_index(maxd):
+        """Smallest ladder band covering maxd STRICTLY (maxd < b);
+        len(bands) -> scatter.  The strict inequality is what lets
+        the Pallas kernels run open-band (2B+1 offsets per axis):
+        with maxd < b, floor(d) is in [-b, b-1] so the CIC cloud
+        never touches offset b+1.  A displacement exactly equal to
+        b (measure-zero) escalates to the next band / the exact
+        scatter fallback rather than being mis-painted."""
+        idx = jnp.int32(0)
+        for b in bands:
+            idx = idx + (maxd >= dtype.type(b)).astype(jnp.int32)
+        return idx
+
+    def _flat(u3):
+        return tuple(u3[i].reshape(-1) for i in range(3))
+
+    def _maxabs(d):
+        return jnp.maximum(jnp.maximum(jnp.max(jnp.abs(d[0])),
+                                       jnp.max(jnp.abs(d[1]))),
+                           jnp.max(jnp.abs(d[2])))
+
+    def _kconsts():
+        # Rebuilt inside every trace: 1-D hosts broadcast on the fly
+        # (embedded N^3 constants are shipped to the remote compiler).
         kxf = jnp.asarray(kf, dtype)
         kzf_h = jnp.asarray(kf[:Hf].copy(), dtype)
-        kx_d = jnp.asarray(kx_d_np, dtype)
-        kz_d = jnp.asarray(kz_d_np, dtype)
         k2f = (kxf[:, None, None] ** 2 + kxf[None, :, None] ** 2
                + kzf_h[None, None, :] ** 2)
-        mean_per_cell = dtype.type(N**3 / Nf**3)
         if force_factor > 1:
             # Keep only modes that exist on the particle grid: beyond the
             # particle Nyquist the painted density is pure discreteness
@@ -455,141 +532,155 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
                     & m1h[None, None, :])
         else:
             kcut = None
+        return k2f, kcut
 
-        def band_index(maxd):
-            """Smallest ladder band covering maxd STRICTLY (maxd < b);
-            len(bands) -> scatter.  The strict inequality is what lets
-            the Pallas kernels run open-band (2B+1 offsets per axis):
-            with maxd < b, floor(d) is in [-b, b-1] so the CIC cloud
-            never touches offset b+1.  A displacement exactly equal to
-            b (measure-zero) escalates to the next band / the exact
-            scatter fallback rather than being mis-painted."""
-            idx = jnp.int32(0)
-            for b in bands:
-                idx = idx + (maxd >= dtype.type(b)).astype(jnp.int32)
-            return idx
+    mean_per_cell = dtype.type(N**3 / Nf**3)
 
-        def pm_force(x, a):
-            u = x / cell_f
-            diag = None
-            if use_lattice:
-                d = wrapped_displacement(u.reshape(N, N, N, 3), N)
-                maxd = jnp.max(jnp.abs(d))
-                idx = band_index(maxd)
-                if diagnostics:
-                    frac = jnp.mean(
-                        (jnp.abs(d) > dtype.type(lattice_B)).astype(dtype))
-                    diag = (maxd, frac, idx)
-                rho = lax.switch(
-                    idx,
-                    [partial(cic_paint_lattice, d, B=b) for b in bands]
-                    + [partial(cic_paint_particles, u, Nf)])
+    def pm_force(x, a, fac_pm):
+        kx_d = jnp.asarray(kx_d_np, dtype)
+        kz_d = jnp.asarray(kz_d_np, dtype)
+        k2f, kcut = _kconsts()
+        u = x / cell_f                       # (3, N, N, N)
+        diag = None
+        if use_lattice:
+            d = wrapped_displacement_axes(u, N)
+            maxd = _maxabs(d)
+            idx = band_index(maxd)
+            if diagnostics:
+                frac = sum(
+                    jnp.mean((jnp.abs(c) > dtype.type(lattice_B))
+                             .astype(dtype)) for c in d) / 3.0
+                diag = (maxd, frac, idx)
+            rho = lax.switch(
+                idx,
+                [partial(cic_paint_lattice, d, B=b) for b in bands]
+                + [partial(cic_paint_particles, _flat(u), Nf)])
+        else:
+            if diagnostics:
+                d_p = wrapped_displacement_axes(x / cell, N)
+                bref = dtype.type(lattice_B if lattice_B is not None
+                                  else 2)
+                diag = (_maxabs(d_p),
+                        sum(jnp.mean((jnp.abs(c) > bref).astype(dtype))
+                            for c in d_p) / 3.0,
+                        jnp.int32(-1))
+            rho = cic_paint_particles(_flat(u), Nf)
+        delta = rho / mean_per_cell - 1.0
+        dk = fft_safe.rfftn(delta, precision=fft_precision)
+        if kcut is not None:
+            dk = dk * kcut
+        inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
+        c = fac_pm / a
+        # Note: no window deconvolution in the force — W^-2 diverges at
+        # the mesh corners and pumps aliasing noise into the particles.
+        # Growth is therefore mildly suppressed approaching the particle
+        # Nyquist; pass force_factor >= 2 when that regime matters.
+        if gradient in ("fd4", "fd6"):
+            # One inverse transform of the potential, then centred
+            # finite differences.  Periodic rolls are bandwidth-bound
+            # elementwise traffic that XLA fuses — ~1/3 the per-step
+            # transform cost of the spectral path.  Stencils
+            # (coefficients over [f_{j+1}-f_{j-1}, f_{j+2}-f_{j-2},
+            # f_{j+3}-f_{j-3}] / denom*h):
+            #   fd4: (8, -1) / 12        keff/k at kh=pi/2: 0.849
+            #   fd6: (45, -9, 1) / 60    keff/k at kh=pi/2: 0.934
+            phi = fft_safe.irfftn(c * dk * inv_k2, s=(Nf, Nf, Nf),
+                                  precision=fft_precision)
+            if gradient == "fd4":
+                coeffs, denom = (8.0, -1.0), 12.0
             else:
-                if diagnostics:
-                    d_p = wrapped_displacement((x / cell).reshape(N, N, N, 3),
-                                               N)
-                    bref = dtype.type(lattice_B if lattice_B is not None
-                                      else 2)
-                    diag = (jnp.max(jnp.abs(d_p)),
-                            jnp.mean((jnp.abs(d_p) > bref).astype(dtype)),
-                            jnp.int32(-1))
-                rho = cic_paint_particles(u, Nf)
-            delta = rho / mean_per_cell - 1.0
-            dk = fft_safe.rfftn(delta, precision=fft_precision)
-            if kcut is not None:
-                dk = dk * kcut
-            inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0), 0.0)
-            c = fac_pm / a
-            # Note: no window deconvolution in the force — W^-2 diverges at
-            # the mesh corners and pumps aliasing noise into the particles.
-            # Growth is therefore mildly suppressed approaching the particle
-            # Nyquist; pass force_factor >= 2 when that regime matters.
-            if gradient in ("fd4", "fd6"):
-                # One inverse transform of the potential, then centred
-                # finite differences.  Periodic rolls are bandwidth-bound
-                # elementwise traffic that XLA fuses — ~1/3 the per-step
-                # transform cost of the spectral path.  Stencils
-                # (coefficients over [f_{j+1}-f_{j-1}, f_{j+2}-f_{j-2},
-                # f_{j+3}-f_{j-3}] / denom*h):
-                #   fd4: (8, -1) / 12        keff/k at kh=pi/2: 0.849
-                #   fd6: (45, -9, 1) / 60    keff/k at kh=pi/2: 0.934
-                phi = fft_safe.irfftn(c * dk * inv_k2, s=(Nf, Nf, Nf),
-                                      precision=fft_precision)
-                if gradient == "fd4":
-                    coeffs, denom = (8.0, -1.0), 12.0
-                else:
-                    coeffs, denom = (45.0, -9.0, 1.0), 60.0
-                invh = dtype.type(1.0 / (denom * cell_f))
+                coeffs, denom = (45.0, -9.0, 1.0), 60.0
+            invh = dtype.type(1.0 / (denom * cell_f))
 
-                def fd(ax):
-                    acc = None
-                    for j, cj in enumerate(coeffs, start=1):
-                        t = dtype.type(cj) * (jnp.roll(phi, -j, ax)
-                                              - jnp.roll(phi, j, ax))
-                        acc = t if acc is None else acc + t
-                    return acc * invh
+            def fd(ax):
+                acc = None
+                for j, cj in enumerate(coeffs, start=1):
+                    t = dtype.type(cj) * (jnp.roll(phi, -j, ax)
+                                          - jnp.roll(phi, j, ax))
+                    acc = t if acc is None else acc + t
+                return acc * invh
 
-                Fx, Fy, Fz = fd(0), fd(1), fd(2)
-            else:
-                base = (1j * c) * dk * inv_k2
-                Fx = fft_safe.irfftn(base * kx_d[:, None, None],
-                                     s=(Nf, Nf, Nf), precision=fft_precision)
-                Fy = fft_safe.irfftn(base * kx_d[None, :, None],
-                                     s=(Nf, Nf, Nf), precision=fft_precision)
-                Fz = fft_safe.irfftn(base * kz_d[None, None, :],
-                                     s=(Nf, Nf, Nf), precision=fft_precision)
-            if use_lattice:
-                def g_lat(b):
-                    if cic_gather3 is not None and b <= fuse_force_gather:
-                        ga, gb, gc = cic_gather3((Fx, Fy, Fz), d, B=b)
-                        return jnp.stack([ga.reshape(-1), gb.reshape(-1),
-                                          gc.reshape(-1)], axis=-1)
-                    return jnp.stack(
-                        [cic_gather_lattice(F, d, B=b).reshape(-1)
-                         for F in (Fx, Fy, Fz)], axis=-1)
+            comps = (lambda: fd(0), lambda: fd(1), lambda: fd(2))
+        else:
+            base = (1j * c) * dk * inv_k2
+            comps = tuple(
+                (lambda kvec=kvec: fft_safe.irfftn(
+                    base * kvec, s=(Nf, Nf, Nf), precision=fft_precision))
+                for kvec in (kx_d[:, None, None], kx_d[None, :, None],
+                             kz_d[None, None, :]))
 
-                def g_sc():
-                    return jnp.stack(
-                        [cic_gather(F, u) for F in (Fx, Fy, Fz)], axis=-1)
+        def gather_one(F):
+            if not use_lattice:
+                return cic_gather(F, _flat(u)).reshape(u.shape[1:])
 
-                return lax.switch(
-                    idx, [partial(g_lat, b) for b in bands] + [g_sc]), diag
-            return jnp.stack([
-                cic_gather(Fx, u), cic_gather(Fy, u), cic_gather(Fz, u)
-            ], axis=-1), diag
+            def g_lat(b):
+                return cic_gather_lattice(F, d, B=b)
 
-        def step(carry, consts):
-            x, v = carry
-            K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
-            F, diag = pm_force(x, a_f)
-            # COLA compensation: subtract the LPT acceleration
-            comp = (fac_pm / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
-            Fres = F - comp
-            v = v + Fres * (K1 + K2)
-            x = x + v * Dr + dD1_ * p1 + dD2_ * p2
-            x = jnp.mod(x, dtype.type(grid.Lx))
-            return (x, v), diag
+            def g_sc():
+                return cic_gather(F, _flat(u)).reshape(N, N, N)
 
-        (x, v), diags = jax.lax.scan(step, (x, v), step_consts)
+            return lax.switch(
+                idx, [partial(g_lat, b) for b in bands] + [g_sc])
 
+        fused = (use_lattice and cic_gather3 is not None
+                 and fuse_force_gather >= 1 and not lowmem)
+        if fused:
+            Fx, Fy, Fz = (f() for f in comps)
+
+            def g_lat3(b):
+                if b <= fuse_force_gather:
+                    ga, gb, gc = cic_gather3((Fx, Fy, Fz), d, B=b)
+                    return jnp.stack([ga, gb, gc], axis=0)
+                return jnp.stack([gather_one(F) for F in (Fx, Fy, Fz)],
+                                 axis=0)
+
+            def g_sc3():
+                uf = _flat(u)
+                return jnp.stack(
+                    [cic_gather(F, uf).reshape(N, N, N)
+                     for F in (Fx, Fy, Fz)], axis=0)
+
+            return lax.switch(
+                idx, [partial(g_lat3, b) for b in bands] + [g_sc3]), diag
+        # Sequential per-component transform + gather: each force mesh
+        # is consumed by its own gather before the next is produced, so
+        # only ONE (N,N,N) mesh is live at a time (lowmem essential; the
+        # all-three lax.switch pins Fx, Fy, Fz simultaneously).
+        return jnp.stack([gather_one(f()) for f in comps], axis=0), diag
+
+    def step_body(x, v, p1, p2, consts, fac_pm):
+        K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
+        F, diag = pm_force(x, a_f, fac_pm)
+        # COLA compensation: subtract the LPT acceleration
+        comp = (fac_pm / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
+        Fres = F - comp
+        v = v + Fres * (K1 + K2)
+        x = x + v * Dr + dD1_ * p1 + dD2_ * p2
+        x = jnp.mod(x, dtype.type(grid.Lx))
+        return x, v, diag
+
+    def finish_body(x, v, p1, p2, scal):
+        _, _, _, pfac1, pfac2, inv_a_final = scal
         u = x / cell
         if use_lattice:
-            d_fin = wrapped_displacement(u.reshape(N, N, N, 3), N)
-            idx_fin = band_index(jnp.max(jnp.abs(d_fin)))
+            d_fin = wrapped_displacement_axes(u, N)
+            idx_fin = band_index(_maxabs(d_fin))
 
             def paint_fin(w):
                 def lat(b):
-                    return cic_paint_lattice(
-                        d_fin, B=b,
-                        weights=None if w is None else w.reshape(N, N, N))
+                    return cic_paint_lattice(d_fin, B=b, weights=w)
 
                 return lax.switch(
                     idx_fin,
                     [partial(lat, b) for b in bands]
-                    + [partial(cic_paint_particles, u, N, weights=w)])
+                    + [partial(cic_paint_particles, _flat(u), N,
+                               weights=None if w is None
+                               else w.reshape(-1))])
         else:
             def paint_fin(w):
-                return cic_paint_particles(u, N, weights=w)
+                return cic_paint_particles(
+                    _flat(u), N,
+                    weights=None if w is None else w.reshape(-1))
 
         rho = paint_fin(None)
         # Deconvolve the CIC assignment window (standard PM practice), so
@@ -600,29 +691,210 @@ def _build_evolve_cached(grid: GridSpec, force_factor: int,
         delta_x = fft_safe.irfftn(fft_safe.rfftn(rho - 1.0) * comp_k,
                                   s=(N, N, N)).astype(dtype)
 
-        diag_out = None
-        if diagnostics:
-            maxds, fracs, used = diags
-            diag_out = {
-                "maxdisp": maxds, "frac_out": fracs,
-                "used_lattice": used,
-                "final_maxdisp": jnp.max(jnp.abs(
-                    wrapped_displacement((x / cell).reshape(N, N, N, 3), N))),
-            }
-
+        final_maxdisp = (_maxabs(wrapped_displacement_axes(u, N))
+                         if diagnostics else None)
         if not keep_velocities:
-            if diagnostics:
-                return delta_x, None, diag_out
-            return delta_x, None
+            return delta_x, None, final_maxdisp
         # Total momentum = LPT part at a_final + residual; v_pec = p/a (km/s)
         p_tot = v + pfac1 * p1 + pfac2 * p2
         vel_grids = []
         for comp in range(3):
-            m = paint_fin(p_tot[:, comp])
-            vel_grids.append(jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10), 0.0)
-                             * inv_a_final)
+            m = paint_fin(p_tot[comp])
+            vel_grids.append(jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10),
+                                       0.0) * inv_a_final)
+        return delta_x, jnp.stack(vel_grids), final_maxdisp
+
+    def _diag_out(diags, final_maxdisp):
+        maxds, fracs, used = diags
+        return {"maxdisp": maxds, "frac_out": fracs, "used_lattice": used,
+                "final_maxdisp": final_maxdisp}
+
+    def _q_init(p1, p2, scal):
+        # Lattice coordinates from broadcast iota — never materialised
+        # as a host-side argument (see realise_density_cola).
+        qs = [jax.lax.broadcasted_iota(dtype, (N, N, N), i)
+              * dtype.type(cell) for i in range(3)]
+        x = jnp.stack(qs, axis=0) + scal[0] * p1 + scal[1] * p2
+        return x, jnp.zeros_like(x)  # residual momentum
+
+    if not lowmem:
+        # Single scan program.
+        @jax.jit
+        def evolve(p1, p2, step_consts, scal):
+            x, v = _q_init(p1, p2, scal)
+
+            def step(carry, consts):
+                x, v = carry
+                x, v, diag = step_body(x, v, p1, p2, consts, scal[2])
+                return (x, v), diag
+
+            (x, v), diags = jax.lax.scan(step, (x, v), step_consts)
+            delta_x, vel, final_maxdisp = finish_body(x, v, p1, p2, scal)
+            if diagnostics:
+                return delta_x, vel, _diag_out(diags, final_maxdisp)
+            return delta_x, vel
+
+        return evolve
+
+    # lowmem: host-orchestrated per-phase programs.  No lax.switch/cond
+    # anywhere: the in-engine switch composition faulted the TPU worker
+    # exactly at the first step whose displacement bound escalated past
+    # the widest lattice band (round-5 forensics — every branch runs
+    # clean as a standalone program).  The band is picked ON HOST from
+    # the downloaded maxd scalar, and each phase is its own jit with
+    # (x, v) donated through the update.  True scalar syncs serialize
+    # the queue (block_until_ready returns early through the tunnel).
+    @jax.jit
+    def init_j(p1, p2, scal):
+        return _q_init(p1, p2, scal)
+
+    @jax.jit
+    def prep_j(x):
+        u = x / cell_f
+        d = wrapped_displacement_axes(u, N)
+        if diagnostics and lattice_B is not None:
+            frac = sum(jnp.mean((jnp.abs(c) > dtype.type(lattice_B))
+                                .astype(dtype)) for c in d) / 3.0
+        else:
+            frac = jnp.zeros((), dtype)
+        return d, _maxabs(d), frac
+
+    @partial(jax.jit, static_argnames=("b",))
+    def paint_lat_j(d, b):
+        return cic_paint_lattice(d, B=b)
+
+    @jax.jit
+    def paint_sc_j(x):
+        return cic_paint_particles(_flat(x / cell_f), Nf)
+
+    @jax.jit
+    def solve_j(rho, a_f, scal):
+        delta = rho / mean_per_cell - 1.0
+        dk = fft_safe.rfftn(delta, precision=fft_precision)
+        k2f, kcut = _kconsts()
+        if kcut is not None:
+            dk = dk * kcut
+        inv_k2 = jnp.where(k2f > 0.0, 1.0 / jnp.where(k2f > 0.0, k2f, 1.0),
+                           0.0)
+        c = scal[2] / a_f
+        return (1j * c) * dk * inv_k2
+
+    @partial(jax.jit, static_argnames=("axis",))
+    def grad_j(base, axis):
+        kx_d = jnp.asarray(kx_d_np, dtype)
+        kz_d = jnp.asarray(kz_d_np, dtype)
+        kvec = (kx_d[:, None, None], kx_d[None, :, None],
+                kz_d[None, None, :])[axis]
+        return fft_safe.irfftn(base * kvec, s=(Nf, Nf, Nf),
+                               precision=fft_precision)
+
+    @partial(jax.jit, static_argnames=("b",))
+    def gather_lat_j(F, d, b):
+        return cic_gather_lattice(F, d, B=b)
+
+    @jax.jit
+    def gather_sc_j(F, x):
+        return cic_gather(F, _flat(x / cell_f)).reshape(N, N, N)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def upd_j(x, v, g0, g1, g2, p1, p2, consts, scal):
+        K1, K2, Dr, D1, D2, dD1_, dD2_, a_f = consts
+        F = jnp.stack([g0, g1, g2], axis=0)
+        comp = (scal[2] / a_f) * (D1 * p1 + (D2 - D1**2) * p2)
+        v = v + (F - comp) * (K1 + K2)
+        x = x + v * Dr + dD1_ * p1 + dD2_ * p2
+        x = jnp.mod(x, dtype.type(grid.Lx))
+        return x, v, x[0, 0, 0, 0]
+
+    @partial(jax.jit, static_argnames=("b",))
+    def paint_w_lat_j(d, w, b):
+        return cic_paint_lattice(d, B=b, weights=w)
+
+    @jax.jit
+    def paint_w_sc_j(x, w):
+        return cic_paint_particles(_flat(x / cell_f), N,
+                                   weights=w.reshape(-1))
+
+    @jax.jit
+    def delta_fin_j(rho):
+        from ..ops.painting import compensation
+
+        comp_k = compensation(grid, "cic", dtype)[..., : N // 2 + 1]
+        return fft_safe.irfftn(fft_safe.rfftn(rho - 1.0) * comp_k,
+                               s=(N, N, N)).astype(dtype)
+
+    @jax.jit
+    def ptot_j(v, p1, p2, scal):
+        return v + scal[3] * p1 + scal[4] * p2
+
+    @jax.jit
+    def veldiv_j(m, rho, scal):
+        return jnp.where(rho > 0, m / jnp.maximum(rho, 1e-10), 0.0) * scal[5]
+
+    def _host_band(m):
+        """Smallest ladder band with the STRICT bound m < b; None -> the
+        exact-scatter program (same criterion as band_index)."""
+        for b in bands:
+            if m < float(b):
+                return b
+        return None
+
+    def _paint(x, d, m, w=None):
+        b = _host_band(m)
+        if b is not None:
+            return (paint_lat_j(d, b) if w is None
+                    else paint_w_lat_j(d, w, b)), b
+        return (paint_sc_j(x) if w is None else paint_w_sc_j(x, w)), None
+
+    def evolve(p1, p2, step_consts, scal):
+        x, v = init_j(p1, p2, scal)
+        float(x[0, 0, 0, 0])  # true sync: don't overlap init with step 0
+        n_steps = int(step_consts[0].shape[0])
+        # Host-side schedule rows: indexing device arrays eagerly would
+        # cost one remote dispatch PER SCALAR through the tunnel.
+        sc_np = [np.asarray(c) for c in step_consts]
+        diags = []
+        _verbose = bool(os.environ.get("FASTBOX_COLA_VERBOSE"))
+        for i in range(n_steps):
+            row = tuple(c[i] for c in sc_np)
+            d, maxd, frac = prep_j(x)
+            m = float(maxd)
+            rho, b = _paint(x, d, m)
+            base = solve_j(rho, row[7], scal)
+            del rho
+            gs = []
+            for ax in range(3):
+                F = grad_j(base, ax)
+                gs.append(gather_lat_j(F, d, b) if b is not None
+                          else gather_sc_j(F, x))
+                del F
+            del d, base
+            x, v, sync = upd_j(x, v, gs[0], gs[1], gs[2], p1, p2, row, scal)
+            del gs
+            float(sync)  # true host sync
+            if _verbose:
+                print(f"[cola] step {i + 1}/{n_steps} done "
+                      f"(maxd={m:.2f}, band={b})", flush=True)
+            if diagnostics:
+                idx = bands.index(b) if b is not None else len(bands)
+                diags.append((m, float(frac), idx))
+        # --- final paint + outputs (host-orchestrated like the steps) --
+        d, maxd, _ = prep_j(x)
+        m = float(maxd)
+        rho, _b = _paint(x, d, m)
+        delta_x = delta_fin_j(rho)
+        vel = None
+        if keep_velocities:
+            p_tot = ptot_j(v, p1, p2, scal)
+            vel_grids = []
+            for comp in range(3):
+                mw, _ = _paint(x, d, m, w=p_tot[comp])
+                vel_grids.append(veldiv_j(mw, rho, scal))
+            vel = jnp.stack(vel_grids)
         if diagnostics:
-            return delta_x, jnp.stack(vel_grids), diag_out
-        return delta_x, jnp.stack(vel_grids)
+            stacked = tuple(jnp.asarray([dg[k] for dg in diags])
+                            for k in range(3))
+            return delta_x, vel, _diag_out(stacked, jnp.asarray(m, dtype))
+        return delta_x, vel
 
     return evolve

@@ -196,11 +196,17 @@ def hermitian_symmetrize(A):
 
 @partial(jax.jit, static_argnames=("grid", "dtype"))
 def white_noise(key, grid: GridSpec, dtype=jnp.float32):
-    """Complex unit white noise (re + i im), each part ~ N(0,1) (box.py:174-176)."""
+    """Complex unit white noise (re + i im), each part ~ N(0,1) (box.py:174-176).
+
+    Jitted, and combined via ``lax.complex``: the EAGER ``re + 1j*im``
+    lowering raises UNIMPLEMENTED on the TPU backend at 512^3+ (round-5
+    finding while chasing the first 512^3 COLA — and a failed op poisons
+    the process's TPU client, so every later op reported stale errors).
+    """
     kre, kim = jax.random.split(key)
     re = jax.random.normal(kre, grid.shape, dtype=dtype)
     im = jax.random.normal(kim, grid.shape, dtype=dtype)
-    return re + 1j * im
+    return jax.lax.complex(re, im)
 
 
 @partial(jax.jit, static_argnames=("grid",))

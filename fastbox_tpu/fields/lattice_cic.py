@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["cic_paint_lattice", "cic_gather_lattice", "wrapped_displacement"]
+__all__ = ["cic_paint_lattice", "cic_gather_lattice", "wrapped_displacement",
+           "wrapped_displacement_axes"]
 
 
 def wrapped_displacement(u, N: int):
@@ -43,6 +44,31 @@ def wrapped_displacement(u, N: int):
                      indexing="ij"), axis=-1)
     d = u - idx
     return (d + N / 2.0) % N - N / 2.0
+
+
+def wrapped_displacement_axes(u3, N: int):
+    """Per-axis wrapped displacements for SoA positions ``u3`` (3, N, N, N).
+
+    Returns a (dx, dy, dz) tuple of (N, N, N) arrays — the tuple form
+    every lattice kernel accepts directly.  Each lattice coordinate is a
+    broadcast 1-D iota, so nothing rank-4 is materialised (the AoS
+    (N, N, N, 3) form tiles as T(4,128) with a 1.33x pad at engine-state
+    scale — the round-5 512^3 COLA HBM finding)."""
+    dt = u3.dtype
+    ax = jnp.arange(N, dtype=dt)
+    out = []
+    for i, idx in enumerate((ax[:, None, None], ax[None, :, None],
+                             ax[None, None, :])):
+        d = u3[i] - idx
+        out.append((d + N / 2.0) % N - N / 2.0)
+    return tuple(out)
+
+
+def _disp_axes(disp):
+    """Normalise displacement input: (N,N,N,3) array or (dx,dy,dz) tuple."""
+    if isinstance(disp, tuple):
+        return disp
+    return disp[..., 0], disp[..., 1], disp[..., 2]
 
 
 def _axis_weights(d, B: int):
@@ -74,9 +100,10 @@ def cic_paint_lattice(disp, B: int = 2, weights=None):
     Returns:
         (N, N, N) mesh of summed CIC weights.
     """
-    wx = _axis_weights(disp[..., 0], B)
-    wy = _axis_weights(disp[..., 1], B)
-    wz = _axis_weights(disp[..., 2], B)
+    dx, dy, dz = _disp_axes(disp)
+    wx = _axis_weights(dx, B)
+    wy = _axis_weights(dy, B)
+    wz = _axis_weights(dz, B)
 
     mesh = None
     for ox in range(-B, B + 2):
@@ -107,9 +134,10 @@ def cic_gather_lattice(mesh, disp, B: int = 2):
     Returns:
         (N, N, N) interpolated values, one per particle.
     """
-    wx = _axis_weights(disp[..., 0], B)
-    wy = _axis_weights(disp[..., 1], B)
-    wz = _axis_weights(disp[..., 2], B)
+    dx, dy, dz = _disp_axes(disp)
+    wx = _axis_weights(dx, B)
+    wy = _axis_weights(dy, B)
+    wz = _axis_weights(dz, B)
 
     out = None
     for oz in range(-B, B + 2):

@@ -82,12 +82,18 @@ def main():
     ratio = pk[sel] / pk_lin[sel]
     std = float(np.std(np.asarray(delta)))
 
+    import gc
+
     import jax.numpy as jnp
 
     t0 = time.time()
     for i in range(args.repeat):
-        s = jnp.std(one(10_001 + i))
-    _ = float(s)  # host materialisation forces completion of the stream
+        # Free the previous realisation's cube BEFORE the next IC draw:
+        # at 512^3 the leftover buffers push the IC chain over HBM
+        # (round 5; the lowmem engine syncs per step so the stream is
+        # already drained here).
+        s = float(jnp.std(one(10_001 + i)))
+        gc.collect()
     dt = (time.time() - t0) / args.repeat
 
     doc = {
